@@ -1,0 +1,189 @@
+"""Char-n-gram naive-Bayes language identifier (fastText-style).
+
+Mirrors the reference token-NB classifier semantics exactly
+(src/detectors/classifier.rs:18-49), generalized from code tokens to
+character 3-grams for web text:
+
+  - score(candidate) = sum over doc grams of log P(gram | lang),
+    missing gram -> DEFAULT_LOG_PROB = -19 (classifier.rs:10),
+    language absent from model -> -inf (classifier.rs:36).
+  - empty candidate list -> score ALL languages (classifier.rs:19-22).
+  - argmax with STABLE tie-break: earlier candidate in candidate-list
+    order wins (classifier.rs:42-48 stable sort) — reproduced by
+    Python's stable sort, never by Spark max_by (SURVEY.md §2.5 O3).
+  - per-row compute is bounded: first MAX_SCORE_CHARS chars only
+    (the 51200-byte cap analog, X6).
+
+Training = the codegen analog (src/bin/codegen.rs:357-428): count grams
+per (lang, gram), total per lang, emit ln(count/total). Two parity
+implementations: pure Python (train_py) and a Spark aggregation job
+(train_spark — groupBy + window, no UDF).
+
+Scoring on Spark: ONE Arrow-batched pandas UDF over the broadcast model
+(a few MB — classic broadcast-model scoring).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .langdata import LANGUAGES, STOPWORDS, WORDS
+
+DEFAULT_LOG_PROB = -19.0  # classifier.rs:10
+MAX_SCORE_CHARS = 2000
+NGRAM = 3
+
+Model = dict[str, dict[str, float]]
+
+
+def text_grams(text: str) -> list[str]:
+    t = text[:MAX_SCORE_CHARS].lower()
+    return [t[i : i + NGRAM] for i in range(max(0, len(t) - NGRAM + 1))]
+
+
+# ----------------------------------------------------------------------
+# deterministic training corpus (the samples/ analog)
+# ----------------------------------------------------------------------
+
+def training_corpus(
+    docs_per_lang: int = 50, words_per_doc: int = 80, seed: int = 1337
+) -> list[tuple[str, str]]:
+    """(lang, text) rows drawn from the per-language word pools with a
+    seeded RNG — fully deterministic, mirrors reference samples/."""
+    rows = []
+    for lang in LANGUAGES:
+        rng = random.Random(f"{seed}:{lang}")
+        pool = WORDS[lang]
+        stop = STOPWORDS[lang]
+        for _ in range(docs_per_lang):
+            words = []
+            for _ in range(words_per_doc):
+                # ~45% stopwords, like real prose
+                src = stop if rng.random() < 0.45 else pool
+                words.append(src[rng.randrange(len(src))])
+            rows.append((lang, " ".join(words)))
+    return rows
+
+
+def train_py(corpus: list[tuple[str, str]]) -> Model:
+    """Pure-Python trainer: lang -> gram -> ln(count/total)."""
+    model: Model = {}
+    for lang in sorted({l for l, _ in corpus}):
+        counts: Counter[str] = Counter()
+        for l, text in corpus:
+            if l == lang:
+                counts.update(text_grams(text))
+        total = sum(counts.values())
+        model[lang] = {g: math.log(c / total) for g, c in counts.items()}
+    return model
+
+
+def train_spark(df: DataFrame, lang_col: str = "lang", text_col: str = "text") -> Model:
+    """Spark trainer — a pure DataFrame aggregation (codegen.rs:357-428
+    analog): explode grams -> two-level hash agg -> log(cnt/total).
+    Gram extraction is a JVM-side transform/sequence, not a UDF."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(char_length("
+                f"substring(lower({text_col}), 1, {MAX_SCORE_CHARS})) - {NGRAM - 1}, 0)), "
+                f"i -> substring(substring(lower({text_col}), 1, {MAX_SCORE_CHARS}), i, {NGRAM}))"
+            )
+        ).alias("gram"),
+    )
+    counted = grams.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    scored = counted.withColumn(
+        "logp", F.log(F.col("cnt") / F.sum("cnt").over(w))
+    )
+    model: Model = {}
+    for row in scored.collect():  # model table is small (dim data)
+        model.setdefault(row["lang"], {})[row["gram"]] = row["logp"]
+    return model
+
+
+_DEFAULT_MODEL: Model | None = None
+
+
+def default_model() -> Model:
+    """The frozen model trained on the deterministic corpus (built once
+    per process — the compiled-in phf-map analog)."""
+    global _DEFAULT_MODEL
+    if _DEFAULT_MODEL is None:
+        _DEFAULT_MODEL = train_py(training_corpus())
+    return _DEFAULT_MODEL
+
+
+# ----------------------------------------------------------------------
+# scoring
+# ----------------------------------------------------------------------
+
+def classify_py(
+    text: str, candidates: list[str] | None, model: Model | None = None
+) -> str:
+    """Pure-Python spec scorer, exact classifier.rs:18-49 semantics."""
+    model = model or default_model()
+    cands = list(candidates) if candidates else list(LANGUAGES)
+    gram_counts = Counter(text_grams(text))
+    best_lang, best_score = cands[0], float("-inf")
+    first = True
+    for lang in cands:  # candidate order = tie-break order
+        lp = model.get(lang)
+        if lp is None:
+            score = float("-inf")
+        else:
+            score = sum(
+                n * lp.get(g, DEFAULT_LOG_PROB) for g, n in gram_counts.items()
+            )
+        if first or score > best_score:  # strict > keeps earlier cand on tie
+            best_lang, best_score, first = lang, score, False
+    return best_lang
+
+
+def make_classify_udf(spark: SparkSession, model: Model | None = None):
+    """Arrow-batched pandas UDF (text, candidates) -> lang.
+
+    The model ships to executors via sc.broadcast — one copy per worker,
+    the broadcast-variable analog of the reference's compiled-in map.
+    Rows whose candidate list is already a singleton are passed through
+    without scoring (early-exit X1 inside the batch).
+    """
+    bc = spark.sparkContext.broadcast(model or default_model())
+
+    @F.pandas_udf(T.StringType())
+    def classify_udf(texts: pd.Series, cands: pd.Series) -> pd.Series:
+        m = bc.value
+        out = []
+        for text, cand in zip(texts, cands):
+            cand_list = list(cand) if cand is not None else []
+            if len(cand_list) == 1:
+                out.append(cand_list[0])
+            else:
+                out.append(classify_py(text or "", cand_list, m))
+        return pd.Series(out)
+
+    return classify_udf
+
+
+def grams_col(text: Column | str, n: int = NGRAM, cap: int = MAX_SCORE_CHARS) -> Column:
+    """JVM-side char-n-gram array (for training / analysis queries)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.substring(F.lower(c), 1, cap)
+    length = F.length(t)
+    return F.when(
+        length >= n,
+        F.transform(
+            F.sequence(F.lit(1), length - F.lit(n - 1)),
+            lambda i: t.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

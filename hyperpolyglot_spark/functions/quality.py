@@ -1,0 +1,186 @@
+"""Quality signals + ordered keep/drop rules (heuristic rule engine).
+
+This is the web-text generalization of the reference's heuristic rule
+engine (src/detectors/heuristics.rs:46-72): an ORDERED rule list where
+the first matching rule decides (drop + rule id), and a pattern-less
+default (keep) at the end. Cheap rules run first so expensive stages
+never see dropped docs (the `.h -> C` classifier-dodge trick,
+codegen.rs:329-336 / README.md:76-83, generalized — SURVEY.md §4 X5).
+
+Two implementations with identical semantics, tested for parity:
+  - py_signals/py_keep_drop: pure-Python spec (oracle mode).
+  - with_quality_signals/with_keep_drop: Spark column expressions —
+    built-ins only, whole-stage-codegen'd, no Python in the hot path.
+
+Word split spec: ASCII-whitespace runs (both sides operate on
+extraction output, which collapses all whitespace to single spaces).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .langdata import ALL_STOPWORDS
+
+# Chars that count as "symbols": not alnum, not whitespace, not Latin
+# letters with diacritics, not CJK. Same class compiles under Python re
+# and Java regex (explicit ranges, no \w).
+_SYMBOL_CLASS = r"[^A-Za-z0-9\sÀ-ɏ一-鿿]"
+_SYMBOL_RE = re.compile(_SYMBOL_CLASS)
+_WS_SPLIT_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+
+# Vendor/boilerplate URL blocklist — the P3/P4 analog of the reference's
+# ~120 vendored-path globs (src/filters/vendor.rs, documentation.rs),
+# compiled to ONE regex alternation so it is a single pushed-down
+# predicate. Java- and RE2-safe (no lookaround).
+VENDOR_URL_RE = (
+    r"(?:/(?:ads?|tracking|cdn-cgi|wp-admin|assets/vendor|node_modules)/"
+    r"|[?&]utm_[a-z]+=|/(?:privacy-policy|terms-of-service|cookie-policy)(?:/|$))"
+)
+_VENDOR_URL_COMPILED = re.compile(VENDOR_URL_RE)
+
+# --- thresholds (the ordered rule table) ------------------------------
+MIN_CHARS = 200
+MAX_CHARS = 40_000
+MAX_SYMBOL_RATIO = 0.30
+MAX_REP3_RATIO = 0.50
+MIN_STOPWORD_DENSITY = 0.05
+
+# (rule_id, signal, op) — order IS the spec (first match wins).
+RULES: tuple[tuple[str, str, str, float], ...] = (
+    ("url_blocklist", "is_vendor_url", ">=", 1.0),
+    ("too_short", "n_chars", "<", float(MIN_CHARS)),
+    ("too_long", "n_chars", ">", float(MAX_CHARS)),
+    ("symbol_ratio", "symbol_ratio", ">", MAX_SYMBOL_RATIO),
+    ("repetition", "rep3_ratio", ">", MAX_REP3_RATIO),
+    ("stopword_density", "stop_density", "<", MIN_STOPWORD_DENSITY),
+)
+
+
+# ======================================================================
+# pure-Python spec (oracle mode)
+# ======================================================================
+
+def py_words(text: str) -> list[str]:
+    return [w for w in _WS_SPLIT_RE.split(text) if w]
+
+
+def py_signals(text: str, url: str = "") -> dict[str, float]:
+    words = py_words(text)
+    n_chars = len(text)
+    n_words = len(words)
+    n_sym = len(_SYMBOL_RE.findall(text))
+    grams = [
+        " ".join(words[i : i + 3]) for i in range(max(0, n_words - 2))
+    ]
+    rep3 = 0.0 if not grams else 1.0 - len(set(grams)) / len(grams)
+    n_stop = sum(1 for w in words if w.lower() in ALL_STOPWORDS)
+    return {
+        "n_chars": float(n_chars),
+        "n_words": float(n_words),
+        "symbol_ratio": n_sym / max(1, n_chars),
+        "rep3_ratio": rep3,
+        "stop_density": n_stop / max(1, n_words),
+        "is_vendor_url": 1.0 if _VENDOR_URL_COMPILED.search(url) else 0.0,
+    }
+
+
+def _cmp(val: float, op: str, thr: float) -> bool:
+    if op == "<":
+        return val < thr
+    if op == ">":
+        return val > thr
+    if op == ">=":
+        return val >= thr
+    raise ValueError(op)
+
+
+def py_keep_drop(text: str, url: str = "") -> tuple[bool, str | None]:
+    """First-match-wins over RULES; no match -> keep (default rule)."""
+    sig = py_signals(text, url)
+    for rule_id, signal, op, thr in RULES:
+        if _cmp(sig[signal], op, thr):
+            return False, rule_id
+    return True, None
+
+
+# ======================================================================
+# Spark column expressions (the distributed implementation)
+# ======================================================================
+
+_STOP_ARR = None  # built lazily so import works without a session
+
+
+def _stop_arr() -> Column:
+    global _STOP_ARR
+    if _STOP_ARR is None:
+        _STOP_ARR = F.array(*[F.lit(w) for w in sorted(ALL_STOPWORDS)])
+    return _STOP_ARR
+
+
+def words_col(text: Column) -> Column:
+    return F.filter(F.split(text, r"[ \t\n\r\f\x0B]+"), lambda w: w != "")
+
+
+def with_quality_signals(
+    df: DataFrame, text_col: str = "text", url_col: str | None = None
+) -> DataFrame:
+    """Append signal columns. Pure built-ins: split/filter/transform/
+    slice/array_distinct stay inside whole-stage codegen; nothing
+    shuffles and nothing leaves the JVM."""
+    t = F.col(text_col)
+    w = words_col(t)
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    n_sym = n_chars - F.length(F.regexp_replace(t, _SYMBOL_CLASS, ""))
+    grams = F.when(
+        n_words >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n_words - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    rep3 = F.when(
+        n_grams > 0,
+        1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(w, lambda x: F.array_contains(_stop_arr(), F.lower(x)))
+    )
+    is_vendor = (
+        F.col(url_col).rlike(VENDOR_URL_RE).cast("double")
+        if url_col
+        else F.lit(0.0)
+    )
+    return (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn(
+            "symbol_ratio",
+            n_sym.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"),
+        )
+        .withColumn("rep3_ratio", rep3.cast("double"))
+        .withColumn(
+            "stop_density",
+            stop_hits.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"),
+        )
+        .withColumn("is_vendor_url", is_vendor)
+    )
+
+
+def with_keep_drop(df: DataFrame) -> DataFrame:
+    """First-match-wins when/otherwise ladder over RULES -> (keep,
+    drop_rule). Requires signal columns from with_quality_signals."""
+    expr = F.lit(None).cast("string")
+    for rule_id, signal, op, thr in reversed(RULES):
+        col = F.col(signal)
+        cond = (
+            col < thr if op == "<" else col > thr if op == ">" else col >= thr
+        )
+        expr = F.when(cond, F.lit(rule_id)).otherwise(expr)
+    df = df.withColumn("drop_rule", expr)
+    return df.withColumn("keep", F.col("drop_rule").isNull())

@@ -1,0 +1,218 @@
+"""Unit tests for the pure-Python spec functions (oracle mode) —
+mirrors the reference's per-operator inline tests (SURVEY.md §5.1)."""
+
+import pytest
+
+from hyperpolyglot_spark.functions.extract import (
+    extract_text,
+    meta_lang_tag,
+    truncate_to_char_boundary,
+)
+from hyperpolyglot_spark.functions.langid import (
+    classify_py,
+    default_model,
+    text_grams,
+    train_py,
+    training_corpus,
+)
+from hyperpolyglot_spark.functions.metadata import (
+    filter_candidates,
+    meta_lang_candidates,
+    tld_candidates,
+    tld_of,
+    url_hint_lang,
+    url_host,
+)
+from hyperpolyglot_spark.functions.quality import py_keep_drop, py_signals
+from hyperpolyglot_spark.functions.scrub import py_scrub
+
+
+# --- filter_candidates: exact src/lib.rs:434-472 semantics -----------
+def test_filter_candidates_empty_prev():
+    assert filter_candidates([], ["a", "b"]) == ["a", "b"]
+
+
+def test_filter_candidates_empty_new():
+    assert filter_candidates(["a", "b"], []) == ["a", "b"]
+
+
+def test_filter_candidates_no_overlap_keeps_prev():
+    assert filter_candidates(["a", "b"], ["c", "d"]) == ["a", "b"]
+
+
+def test_filter_candidates_overlap_keeps_prev_order():
+    assert filter_candidates(["a", "b", "c"], ["c", "b"]) == ["b", "c"]
+
+
+# --- url metadata (P1/P2 analogs) -------------------------------------
+def test_url_host_and_tld():
+    assert url_host("https://www.example.co.uk/x") == "www.example.co.uk"
+    assert tld_of("www.example.co.uk") == "uk"
+    assert tld_of("foo.com") is None
+    # longest-known-suffix scan (compound extension analog)
+    assert tld_candidates("https://a.b.ch/page") == ["de", "fr", "it"]
+    assert tld_candidates("http://x.cn/") == ["zh"]
+    assert tld_candidates("http://x.io/") == []
+
+
+def test_url_hint_lang():
+    assert url_hint_lang("https://site.com/de/artikel") == "de"
+    assert url_hint_lang("https://site.com/blog/EN-US/x") == "en"
+    assert url_hint_lang("https://site.com/blog/post") is None
+
+
+def test_meta_lang_candidates():
+    assert meta_lang_candidates("en") == ["en"]
+    assert meta_lang_candidates("pt-BR".lower()) == ["pt"]
+    assert meta_lang_candidates("iberian") == ["es", "pt"]
+    assert meta_lang_candidates("en-us-x-mtfrom") == ["en"]
+    assert meta_lang_candidates("xx") == []
+    assert meta_lang_candidates(None) == []
+
+
+# --- extraction (byte-identical invariant helpers) --------------------
+def test_extract_strips_boilerplate():
+    html = (
+        b"<html lang='de'><head><style>p{}</style></head><body>"
+        b"<nav>Home | About</nav><!-- hidden -->"
+        b"<script>var x=1;</script><p>Guten&nbsp;Tag &amp; hallo</p>"
+        b"<footer>(c) 2024</footer></body></html>"
+    )
+    assert extract_text(html) == "Guten Tag & hallo"
+    assert meta_lang_tag(html) == "de"
+
+
+def test_extract_invalid_utf8_policy():
+    # decode errors="replace" is THE policy (extract.py docstring)
+    assert extract_text(b"<p>ok \xff\xfe</p>") == "ok ��"
+
+
+def test_truncate_char_boundary():
+    s = "a" * 51199 + "京"  # 3-byte char straddling the cap
+    out = truncate_to_char_boundary(s, 51200)
+    assert out == "a" * 51199
+    assert truncate_to_char_boundary("abc", 51200) == "abc"
+    assert truncate_to_char_boundary("京" * 3, 4) == "京"
+
+
+def test_entity_no_double_decode():
+    assert extract_text(b"<p>&amp;lt;</p>") == "&lt;"
+
+
+# --- quality signals + rules ------------------------------------------
+GOOD_EN = (
+    "the house and the water in the world is that people of the time "
+    "for on this market are the children with music at language between "
+    "because through country the question answer morning network village "
+    "weather mountain library the of and to in is it that was for on are"
+) * 2
+
+
+def test_keep_good_doc():
+    keep, rule = py_keep_drop(GOOD_EN)
+    assert keep and rule is None
+
+
+def test_too_short():
+    assert py_keep_drop("tiny doc") == (False, "too_short")
+
+
+def test_symbol_ratio_drop():
+    text = "@@@ ###" * 60
+    keep, rule = py_keep_drop(text)
+    assert (keep, rule) == (False, "symbol_ratio")
+
+
+def test_repetition_drop():
+    text = "the same words again " * 40
+    keep, rule = py_keep_drop(text)
+    assert (keep, rule) == (False, "repetition")
+
+
+def test_stopword_density_drop():
+    # varied gibberish (no repeated 3-grams) with zero stopwords
+    words = [f"zx{i}qv{i * 7}" for i in range(80)]
+    text = " ".join(words)
+    assert len(text) >= 200
+    keep, rule = py_keep_drop(text)
+    assert (keep, rule) == (False, "stopword_density")
+
+
+def test_vendor_url_drop_precedes_all():
+    keep, rule = py_keep_drop("tiny", url="https://x.com/ads/page?utm_source=a")
+    assert (keep, rule) == (False, "url_blocklist")
+
+
+def test_signals_values():
+    sig = py_signals("ab cd!")
+    assert sig["n_chars"] == 6.0
+    assert sig["n_words"] == 2.0
+    assert sig["symbol_ratio"] == pytest.approx(1 / 6)
+    assert sig["rep3_ratio"] == 0.0
+
+
+# --- scrub -------------------------------------------------------------
+def test_scrub_patterns():
+    text = (
+        "mail bob@example.com or +1 555-123-4567, server 10.0.0.1, "
+        "ssn 123-45-6789, card 4111 1111 1111 1111, what the frak"
+    )
+    scrubbed, counts = py_scrub(text)
+    assert "<EMAIL>" in scrubbed and "<PHONE>" in scrubbed
+    assert "<IP>" in scrubbed and "<SSN>" in scrubbed
+    assert "<CARD>" in scrubbed and "<TOXIC>" in scrubbed
+    assert counts["email"] == 1 and counts["toxicity"] == 1
+    assert "bob@example.com" not in scrubbed
+
+
+def test_scrub_idempotent_on_clean():
+    s, counts = py_scrub("nothing personal here")
+    assert s == "nothing personal here"
+    assert all(v == 0 for v in counts.values())
+
+
+# --- langid classifier --------------------------------------------------
+def test_classifier_accuracy_on_corpus():
+    """Golden-corpus accuracy == 1.0 (reference lib.rs:386-432 requires
+    accuracy 1.0 on samples/; train==eval like the reference)."""
+    model = default_model()
+    corpus = training_corpus(docs_per_lang=10, seed=777)  # fresh draws
+    correct = sum(
+        1 for lang, text in corpus if classify_py(text, None, model) == lang
+    )
+    assert correct / len(corpus) == 1.0
+
+
+def test_classifier_candidate_restriction():
+    model = default_model()
+    de_text = "der die und das ist von mit den nicht ein haus wasser"
+    assert classify_py(de_text, ["fr", "de"], model) == "de"
+    # restricted away from truth -> best among candidates, not 'de'
+    assert classify_py(de_text, ["fr", "it"], model) in ("fr", "it")
+
+
+def test_classifier_stable_tie_break():
+    # unknown grams everywhere -> all candidates tie at default logprob;
+    # earlier candidate must win (classifier.rs:42-48 stable sort)
+    model = {"aa": {}, "bb": {}}
+    assert classify_py("qqqq", ["bb", "aa"], model) == "bb"
+    # language missing from model -> -inf, never wins over a known one
+    assert classify_py("qqqq", ["zz", "aa"], model) == "aa"
+
+
+def test_classifier_empty_candidates_scores_all():
+    model = default_model()
+    assert classify_py("的 是 了 在 和 有", [], model) == "zh"
+
+
+def test_text_grams_bounded():
+    grams = text_grams("x" * 10_000)
+    assert len(grams) == 2000 - 2  # MAX_SCORE_CHARS cap
+
+
+def test_train_py_logprobs_normalize():
+    import math
+
+    model = train_py([("xx", "abcabc")])
+    total = sum(math.exp(p) for p in model["xx"].values())
+    assert total == pytest.approx(1.0)
