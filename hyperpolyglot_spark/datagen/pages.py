@@ -1,0 +1,223 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` table.
+
+Schema per BASELINE.json input_hint:
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Every row is a pure function of (seed, row_id) — generation is
+embarrassingly parallel and identical whether produced driver-side
+(pandas, for tests) or distributed (spark.range + mapInPandas, for
+bench scale). ``text`` is extract_text(html) by construction, freezing
+the byte-identical-extraction invariant into the data itself.
+
+Strata (FIXTURES.md §1): clean prose per language; too-short docs;
+high symbol-ratio; high-repetition; low stopword-density gibberish;
+PII + toxicity hits; vendor/boilerplate urls; Zipf-skewed hosts
+(exercises salting); lang-hint url segments; declared/sloppy/absent
+<html lang> tags; a slice of invalid-UTF-8 html bytes.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pandas as pd
+
+from ..functions.extract import extract_text
+from ..functions.langdata import LANGUAGES, STOPWORDS, WORDS
+
+# Host TLDs correlate with language (like the real web): unique-mapping
+# TLDs, ambiguous multi-candidate TLDs, and neutral gTLDs. Host index is
+# Zipf-skewed within each group — site0.* are hot hosts (skew stratum).
+_UNIQUE_TLD = {"en": "uk", "de": "de", "fr": "fr", "it": "it",
+               "nl": "nl", "zh": "cn", "es": "es", "pt": "pt"}
+_AMBIG_TLD = {"en": ("ca",), "de": ("ch", "nl", "at"), "fr": ("ch", "be", "ca"),
+              "it": ("ch",), "nl": ("be",), "zh": ("tw",),
+              "es": ("es", "br"), "pt": ("pt", "br")}
+_NEUTRAL_TLD = ("com", "org", "net", "io")
+_N_HOSTS = 16
+_ZIPF_WEIGHTS = [1.0 / (i + 1) ** 1.2 for i in range(_N_HOSTS)]
+_ZIPF_TOTAL = sum(_ZIPF_WEIGHTS)
+_ZIPF_CDF = []
+_acc = 0.0
+for _w in _ZIPF_WEIGHTS:
+    _acc += _w / _ZIPF_TOTAL
+    _ZIPF_CDF.append(_acc)
+
+_SLOPPY_TAGS = {"es": "iberian", "pt": "iberian", "de": "germanic",
+                "nl": "germanic", "fr": "romance", "it": "romance"}
+
+_PII_SNIPPETS = (
+    "contact me at alice.smith@example.org for details",
+    "call +1 555-234-5678 any time",
+    "server logs show 192.168.10.42 repeatedly",
+    "ssn on file 123-45-6789 do not share",
+    "card 4111 1111 1111 1111 expires soon",
+)
+_TOXIC_SNIPPETS = (
+    "what the frak is this",
+    "that gorram machine broke again",
+    "this smeg happens every drokk time",
+)
+
+EPOCH = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def _pick_host(rng: random.Random, lang: str) -> str:
+    roll = rng.random()
+    if roll < 0.45:
+        tld = _UNIQUE_TLD[lang]
+    elif roll < 0.65:
+        opts = _AMBIG_TLD[lang]
+        tld = opts[rng.randrange(len(opts))]
+    else:
+        tld = _NEUTRAL_TLD[rng.randrange(len(_NEUTRAL_TLD))]
+    r = rng.random()
+    idx = _N_HOSTS - 1
+    for i, c in enumerate(_ZIPF_CDF):
+        if r <= c:
+            idx = i
+            break
+    return f"site{idx}.example.{tld}"
+
+
+def _words(rng: random.Random, lang: str, n: int) -> list[str]:
+    stop = STOPWORDS[lang]
+    pool = WORDS[lang]
+    out = []
+    for _ in range(n):
+        src = stop if rng.random() < 0.45 else pool
+        out.append(src[rng.randrange(len(src))])
+    return out
+
+
+def gen_page(row_id: int, seed: int = 42) -> dict:
+    """One deterministic page row. Pure function of (seed, row_id)."""
+    rng = random.Random(f"pages:{seed}:{row_id}")
+    lang = LANGUAGES[_weighted_lang(rng)]
+    host = _pick_host(rng, lang)
+
+    # strata roll (disjoint, deterministic shares)
+    roll = rng.random()
+    stratum = (
+        "short" if roll < 0.06
+        else "symbols" if roll < 0.11
+        else "repetitive" if roll < 0.16
+        else "gibberish" if roll < 0.20
+        else "vendor" if roll < 0.25
+        else "clean"
+    )
+
+    # url ------------------------------------------------------------
+    segs = []
+    if stratum == "vendor":
+        segs.append(rng.choice(["ads", "tracking", "wp-admin", "cdn-cgi"]))
+    if rng.random() < 0.30:  # lang-hint segment (stage-1 fixture)
+        segs.append(rng.choice([lang, f"{lang}-{lang}"]))
+    segs.append(f"page-{row_id}")
+    url = f"https://{host}/" + "/".join(segs)
+
+    # body -----------------------------------------------------------
+    if stratum == "short":
+        body_words = _words(rng, lang, rng.randint(3, 20))
+    elif stratum == "repetitive":
+        phrase = _words(rng, lang, 4)
+        body_words = phrase * rng.randint(25, 60)
+    elif stratum == "gibberish":
+        body_words = [
+            f"zx{rng.randrange(10_000)}q{rng.randrange(10_000)}"
+            for _ in range(rng.randint(60, 200))
+        ]
+    else:
+        body_words = _words(rng, lang, rng.randint(120, 700))
+
+    if stratum == "symbols":
+        body_words = [
+            w + rng.choice(["!!!", "###", "$$$", "@@@", "%^&*"])
+            for w in _words(rng, lang, rng.randint(60, 200))
+        ]
+
+    if stratum == "clean" and rng.random() < 0.15:
+        body_words.extend(rng.choice(_PII_SNIPPETS).split(" "))
+    if stratum == "clean" and rng.random() < 0.08:
+        body_words.extend(rng.choice(_TOXIC_SNIPPETS).split(" "))
+
+    # html -----------------------------------------------------------
+    tag_roll = rng.random()
+    if tag_roll < 0.55:
+        lang_attr = f' lang="{lang}"'
+    elif tag_roll < 0.70 and lang in _SLOPPY_TAGS:
+        lang_attr = f' lang="{_SLOPPY_TAGS[lang]}"'
+    else:
+        lang_attr = ""
+
+    paragraphs = "".join(
+        f"<p>{' '.join(body_words[i:i + 40])}</p>"
+        for i in range(0, len(body_words), 40)
+    )
+
+    html_str = (
+        f'<html{lang_attr}><head><title>page {row_id}</title>'
+        f"<style>body{{margin:0}}</style></head><body>"
+        f'<nav><a href="/">home</a> | <a href="/about">about</a></nav>'
+        f"<!-- generated row {row_id} -->"
+        f'<script>window.track("{host}");</script>'
+        f"{paragraphs}"
+        f"<footer>&copy; 2024 {host}</footer></body></html>"
+    )
+    html = html_str.encode("utf-8")
+    if rng.random() < 0.02:  # invalid-UTF-8 slice pins the decode policy
+        html += b"<p>tail \xff\xfe bytes</p>"
+
+    text = extract_text(html)
+    ts = EPOCH + datetime.timedelta(seconds=row_id)
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": html,
+        "text": text,
+        "lang": lang,
+    }
+
+
+def _weighted_lang(rng: random.Random) -> int:
+    # en-heavy mix, like the web
+    r = rng.random()
+    cum = (0.35, 0.47, 0.58, 0.68, 0.76, 0.84, 0.91, 1.0)
+    for i, c in enumerate(cum):
+        if r <= c:
+            return i
+    return len(LANGUAGES) - 1
+
+
+def gen_pages_pdf(n_rows: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
+    """Driver-side generation (tests / small fixtures)."""
+    rows = [gen_page(i, seed) for i in range(start, start + n_rows)]
+    pdf = pd.DataFrame(rows)
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
+    return pdf
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def pages_df(spark, n_rows: int, seed: int = 42, partitions: int = 32):
+    """Distributed generation: spark.range -> mapInPandas. Each task
+    generates its id slice independently — the 100TB-scale path."""
+
+    def gen_batches(batches):
+        for batch in batches:
+            ids = batch["id"].tolist()
+            rows = [gen_page(int(i), seed) for i in ids]
+            pdf = pd.DataFrame(rows)
+            pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
+            yield pdf
+
+    rng_df = spark.range(0, n_rows, 1, partitions)
+    return rng_df.mapInPandas(gen_batches, schema=PAGES_SCHEMA)
+
+
+def write_pages(spark, path: str, n_rows: int, seed: int = 42, partitions: int = 32) -> None:
+    pages_df(spark, n_rows, seed, partitions).write.mode("overwrite").parquet(path)

@@ -1,0 +1,167 @@
+"""The end-to-end quality-filter pipeline over a ``pages`` table.
+
+    pages(url, warc_ts, html, text, lang)
+      -> extract (pandas UDF: html -> extracted_text + meta_tag)
+      -> cascade language ID   (operators/cascade.py)
+      -> quality signals + keep/drop (functions/quality.py, pure JVM)
+      -> PII/toxicity scrub    (functions/scrub.py, kept rows only)
+      -> labels DataFrame (FIXTURES.md §2 schema)
+
+Stage order implements the early-exit economics of the reference
+cascade (X1/X5): the scrub UDF sees only kept rows' text (dropped rows
+pass NULL through the batch at ~zero cost), and the classifier UDF sees
+only rows the cheap stages could not resolve.
+
+The whole plan is narrow (no shuffle) from scan to labels — metrics
+aggregation and any final repartition are the only exchanges, which is
+what you want at 10^12 documents: shuffle only the tiny aggregate, never
+the corpus.
+
+py_label_page() is the frozen single-node oracle — the Spark pipeline
+must reproduce it per url with keep/drop F1 >= 0.99 (BASELINE.json;
+ours is exact by construction and the tests assert F1 == 1.0).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.extract import extract_text, meta_lang_tag
+from ..functions.quality import (
+    py_keep_drop,
+    py_signals,
+    with_keep_drop,
+    with_quality_signals,
+)
+from ..functions.scrub import SCRUB_NAMES, py_scrub, with_scrub
+from ..operators.cascade import detect_lang_py, with_cascade
+
+_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("meta_tag", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACT_SCHEMA)
+def _extract_udf(html: pd.Series) -> pd.DataFrame:
+    texts, metas = [], []
+    for h in html:
+        if h is None:
+            texts.append("")
+            metas.append(None)
+            continue
+        texts.append(extract_text(bytes(h)))
+        metas.append(meta_lang_tag(bytes(h)))
+    return pd.DataFrame({"text": texts, "meta_tag": metas})
+
+
+def with_extraction(df: DataFrame, html_col: str = "html") -> DataFrame:
+    e = _extract_udf(F.col(html_col))
+    return (
+        df.withColumn("_e", e)
+        .withColumn("extracted_text", F.col("_e.text"))
+        .withColumn("meta_tag", F.col("_e.meta_tag"))
+        .drop("_e")
+    )
+
+
+def run_pipeline(spark: SparkSession, pages: DataFrame, model=None) -> DataFrame:
+    """pages -> labels. Narrow end-to-end; column-pruned scan (url +
+    html only are needed upstream of the label projection)."""
+    df = pages.select("url", "warc_ts", "html")
+    df = with_extraction(df)
+    df = with_cascade(
+        df, spark, url_col="url", text_col="extracted_text", model=model
+    )
+    df = with_quality_signals(df, text_col="extracted_text", url_col="url")
+    df = with_keep_drop(df)
+    # scrub only kept rows: dropped rows contribute NULL text to the
+    # Arrow batch, the UDF loop skips them
+    df = df.withColumn(
+        "_scrub_in", F.when(F.col("keep"), F.col("extracted_text"))
+    )
+    df = with_scrub(df, text_col="_scrub_in")
+    scrub_cols = [F.col(f"scrub_{n}") for n in SCRUB_NAMES]
+    return df.select(
+        "url",
+        "warc_ts",
+        F.col("extracted_text").alias("text"),
+        "lang_pred",
+        "strategy",
+        "keep",
+        "drop_rule",
+        "scrubbed_text",
+        *scrub_cols,
+        "n_chars",
+        "n_words",
+        "symbol_ratio",
+        "rep3_ratio",
+        "stop_density",
+    )
+
+
+def metrics(labels: DataFrame) -> DataFrame:
+    """Corpus metrics: docs seen / kept / dropped-by-rule / scrub counts
+    (the breakdown agg A1-A3 analog + north-star metrics rows). One
+    partial+final hash aggregation — the only shuffle in the job."""
+    scrub_sums = [
+        F.sum(F.coalesce(F.col(f"scrub_{n}"), F.lit(0))).alias(f"scrub_{n}")
+        for n in SCRUB_NAMES
+    ]
+    return labels.groupBy("lang_pred", "strategy", "keep", "drop_rule").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").alias("chars"),
+        *scrub_sums,
+    )
+
+
+def breakdown(labels: DataFrame) -> DataFrame:
+    """Language breakdown with percent-of-total by file count
+    (reference get_language_breakdown + CLI percentages,
+    src/bin/main.rs:121-133; percentages are doc-count based per
+    README.md:50)."""
+    counts = labels.groupBy("lang_pred").agg(F.count("*").alias("docs"))
+    total = F.sum("docs").over(Window.partitionBy())
+    return counts.withColumn(
+        "pct", F.round(F.col("docs") * 100.0 / total, 4)
+    ).orderBy(F.desc("docs"), "lang_pred")
+
+
+# ----------------------------------------------------------------------
+# frozen single-node oracle (reference labels)
+# ----------------------------------------------------------------------
+
+def py_label_page(url: str, html: bytes, model=None) -> dict:
+    """Pure-Python per-document spec: the 'reference pipeline' whose
+    labels the Spark job must match (SURVEY.md §7.1.1)."""
+    text = extract_text(html)
+    meta = meta_lang_tag(html)
+    lang_pred, strategy = detect_lang_py(url, text, meta, model)
+    keep, drop_rule = py_keep_drop(text, url)
+    if keep:
+        scrubbed, counts = py_scrub(text)
+    else:
+        # dropped rows are never scrubbed: NULL text, zero counts
+        # (matches the Spark batch pass-through convention)
+        scrubbed, counts = None, {n: 0 for n in SCRUB_NAMES}
+    sig = py_signals(text, url)
+    return {
+        "url": url,
+        "text": text,
+        "lang_pred": lang_pred,
+        "strategy": strategy,
+        "keep": keep,
+        "drop_rule": drop_rule,
+        "scrubbed_text": scrubbed,
+        **{f"scrub_{n}": counts[n] for n in SCRUB_NAMES},
+        "n_chars": int(sig["n_chars"]),
+        "n_words": int(sig["n_words"]),
+        "symbol_ratio": sig["symbol_ratio"],
+        "rep3_ratio": sig["rep3_ratio"],
+        "stop_density": sig["stop_density"],
+    }
