@@ -1,0 +1,97 @@
+"""Checkpoint-resumable pipeline runs with per-partition lineage.
+
+North rule: runs must be resumable from checkpoint with per-partition
+lineage + metrics. Mechanism (SURVEY.md §7.1.8 — no Structured
+Streaming needed for a batch corpus):
+
+  - the corpus is bucketed by pmod(xxhash64(url), n_buckets) — a pure
+    function of the data, so bucket membership is stable across runs,
+    executors, and cluster sizes (the Iceberg-partition analog);
+  - buckets are processed in groups; each group is ONE Spark write job
+    into output partition dirs (partitionBy("bucket"), dynamic
+    partition overwrite -> idempotent: re-writing a bucket replaces it
+    byte-for-byte, never duplicates);
+  - after each group commits, a lineage row per bucket (bucket, docs,
+    kept, group metrics) is appended to the _manifest table;
+  - on startup the manifest is read and completed buckets are skipped —
+    the scan never reads them again (pushed-down bucket filter).
+
+A killed run resumes by re-running the same command: output equals a
+single uninterrupted run exactly (tests/test_resume.py asserts this).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import run_pipeline
+
+MANIFEST_DIR = "_manifest"
+LABELS_DIR = "labels"
+
+
+def bucket_col(url_col: str = "url", n_buckets: int = 32):
+    return F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    path = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.exists(path):
+        return set()
+    rows = spark.read.parquet(path).select("bucket").distinct().collect()
+    return {r["bucket"] for r in rows}
+
+
+def run_with_resume(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    group_size: int = 8,
+    max_groups: int | None = None,
+    model=None,
+) -> int:
+    """Run the pipeline bucket-group by bucket-group, committing a
+    manifest row per completed bucket. Returns #groups processed this
+    invocation. ``max_groups`` exists so tests can simulate a kill."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = completed_buckets(spark, out_dir)
+    todo = [b for b in range(n_buckets) if b not in done]
+    groups = [
+        todo[i : i + group_size] for i in range(0, len(todo), group_size)
+    ]
+    if max_groups is not None:
+        groups = groups[:max_groups]
+
+    labels_path = os.path.join(out_dir, LABELS_DIR)
+    manifest_path = os.path.join(out_dir, MANIFEST_DIR)
+
+    for group in groups:
+        src = pages.withColumn("bucket", bucket_col(n_buckets=n_buckets))
+        src = src.filter(F.col("bucket").isin(group))
+        labels = run_pipeline(spark, src.drop("bucket"), model=model)
+        labels = labels.withColumn("bucket", bucket_col(n_buckets=n_buckets))
+        # idempotent per-partition write: dynamic overwrite replaces
+        # exactly the bucket= dirs this group touches
+        labels.write.mode("overwrite").partitionBy("bucket").parquet(
+            labels_path
+        )
+        # lineage + metrics rows, appended only after the data commit
+        lineage = (
+            spark.read.parquet(labels_path)
+            .filter(F.col("bucket").isin(group))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("docs"),
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+                F.sum(F.coalesce("scrub_email", F.lit(0))).alias("scrub_email"),
+                F.sum(F.coalesce("scrub_toxicity", F.lit(0))).alias(
+                    "scrub_toxicity"
+                ),
+            )
+        )
+        lineage.write.mode("append").parquet(manifest_path)
+    return len(groups)

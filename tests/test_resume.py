@@ -1,0 +1,68 @@
+"""Checkpoint/resume: kill-and-rerun must neither drop nor duplicate
+documents, and must skip completed buckets (BASELINE.md resumability)."""
+
+from hyperpolyglot_spark.datagen.pages import gen_pages_pdf
+from hyperpolyglot_spark.plans.resume import (
+    completed_buckets,
+    run_with_resume,
+)
+
+N = 300
+N_BUCKETS = 8
+
+
+def _pages(spark):
+    return spark.createDataFrame(gen_pages_pdf(N))
+
+
+def test_resume_after_kill(spark, tmp_path):
+    out_interrupted = str(tmp_path / "interrupted")
+    out_oneshot = str(tmp_path / "oneshot")
+    pages = _pages(spark)
+
+    # simulated kill: only 1 of 4 groups completes
+    n = run_with_resume(
+        spark, pages, out_interrupted, n_buckets=N_BUCKETS, group_size=2,
+        max_groups=1,
+    )
+    assert n == 1
+    done = completed_buckets(spark, out_interrupted)
+    assert len(done) == 2
+
+    # resume: remaining groups only
+    n2 = run_with_resume(
+        spark, pages, out_interrupted, n_buckets=N_BUCKETS, group_size=2
+    )
+    assert n2 == 3
+    assert len(completed_buckets(spark, out_interrupted)) == N_BUCKETS
+
+    # third run: nothing left to do
+    assert (
+        run_with_resume(spark, pages, out_interrupted, n_buckets=N_BUCKETS)
+        == 0
+    )
+
+    # uninterrupted baseline
+    run_with_resume(spark, pages, out_oneshot, n_buckets=N_BUCKETS)
+
+    a = (
+        spark.read.parquet(f"{out_interrupted}/labels")
+        .orderBy("url")
+        .drop("bucket")
+    )
+    b = (
+        spark.read.parquet(f"{out_oneshot}/labels")
+        .orderBy("url")
+        .drop("bucket")
+    )
+    rows_a = [r.asDict() for r in a.collect()]
+    rows_b = [r.asDict() for r in b.collect()]
+    assert len(rows_a) == N
+    assert rows_a == rows_b  # identical output, no dups, no gaps
+
+    # lineage metrics present for every bucket exactly once
+    manifest = spark.read.parquet(f"{out_interrupted}/_manifest")
+    rows = manifest.groupBy("bucket").count().collect()
+    assert len(rows) == N_BUCKETS
+    assert all(r["count"] == 1 for r in rows)
+    assert manifest.groupBy().sum("docs").collect()[0][0] == N
