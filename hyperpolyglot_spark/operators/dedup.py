@@ -1,0 +1,325 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each scale-designed:
+
+  - exact:    hash-groupBy on md5(text) — one shuffle of (hash, id),
+              never the text itself.
+  - minhash:  shingle -> k minhashes (ONE vectorized numpy pandas UDF,
+              no k-times explode) -> band -> bucket join -> exact
+              jaccard verify on candidates only. At 10^12 docs the
+              bucket join is the only shuffle and candidates are a tiny
+              fraction of the corpus.
+  - simhash:  64-bit signature, 16-bit band blocking, hamming verify.
+  - ngram jaccard: exact all-pairs within a blocking key (for small
+              blocks / verification; the LSH path feeds it candidates
+              at scale).
+  - embedding cosine near-dup: see operators/similarity.py.
+
+Determinism: all hashing is keyed blake2b / affine-permutation over a
+64-bit base hash — stable across processes, Python versions, and
+cluster sizes (never builtin hash(), which is salted per process).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# affine permutation params for minhash: deterministic, generated from
+# a fixed seed via blake2b of the permutation index
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(k: int) -> tuple[np.ndarray, np.ndarray]:
+    a, b = [], []
+    for i in range(k):
+        d = hashlib.blake2b(f"minhash-perm:{i}".encode(), digest_size=16).digest()
+        ai = (int.from_bytes(d[:8], "little") % (_MERSENNE - 1)) + 1
+        bi = int.from_bytes(d[8:], "little") % _MERSENNE
+        a.append(ai)
+        b.append(bi)
+    return np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64)
+
+
+def _base_hash64(s: str) -> int:
+    return struct.unpack(
+        "<Q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
+    )[0]
+
+
+def word_shingles(text: str, n: int = 3) -> set[str]:
+    w = text.split()
+    if len(w) < n:
+        return {" ".join(w)} if w else set()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def minhash_signature(text: str, k: int, a: np.ndarray, b: np.ndarray) -> list[int]:
+    sh = word_shingles(text)
+    if not sh:
+        return [0] * k
+    h = np.array([_base_hash64(s) for s in sh], dtype=np.uint64)
+    # (a*h + b) wraps mod 2^64 (numpy uint64), then mod mersenne — not
+    # the textbook affine permutation, but deterministic and uniform,
+    # which is all LSH bucketing needs
+    vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1).astype(np.int64).tolist()
+
+
+def make_minhash_udf(k: int = 64):
+    a, b = _perm_params(k)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                minhash_signature(t or "", k, a, b)
+                for t in texts
+            ]
+        )
+
+    return minhash_udf
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(text_hash, canonical_id, dup_count) per distinct content hash.
+    Shuffles only (hash, id) pairs — the text never moves."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per distinct text: semi-join against the
+    canonical ids — the corpus-sized side never shuffles its payload."""
+    canon = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(canon, id_col, "left_semi")
+
+
+def _distinct_shingles_col(text: Column, n: int = 3) -> Column:
+    """JVM-side distinct word-n-gram array."""
+    w = F.filter(F.split(text, r"[ \t\n\r]+"), lambda x: x != "")
+    nw = F.size(w)
+    grams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), nw - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(
+        F.when(nw > 0, F.array(F.concat_ws(" ", w))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs jaccard within a blocking key. Pure built-ins:
+    array_intersect/array_union on distinct shingle arrays.
+
+    At full scale block_col is an LSH bucket (lsh_candidate_pairs) so
+    the join is candidates-only; with a plain column (e.g. lang) it is
+    the small-block exact path and the DuckDB-oracle-able query."""
+    side = df.select(
+        F.col(id_col), _distinct_shingles_col(F.col(text_col), n).alias("grams"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    a = side.alias("a")
+    b = side.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    joined = a.join(b, cond)
+    inter = F.size(F.array_intersect("a.grams", "b.grams"))
+    union = F.size(F.array_union("a.grams", "b.grams"))
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature -> band hashes -> bucket
+    self-join. Distinct (id_a, id_b) with id_a < id_b."""
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col), make_minhash_udf(k)(F.col(text_col)).alias("sig")
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bidx * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidates -> exact-jaccard verification. With 16 bands x 4
+    rows, detection probability at j=0.5 is ~64%, at 0.8 is ~99.98%,
+    at 0.95+ is ~1 — candidates are then exactly verified, so output
+    precision is 1.0 and recall follows the LSH S-curve."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands)
+    side = df.select(
+        F.col(id_col), _distinct_shingles_col(F.col(text_col)).alias("grams")
+    )
+    joined = (
+        cands.join(side.withColumnRenamed(id_col, "id_a").alias("ga"), "id_a")
+        .join(
+            side.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("grams", "grams_b")
+            .alias("gb"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("grams", "grams_b"))
+    union = F.size(F.array_union("grams", "grams_b"))
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit simhash over whitespace tokens (weighted bit majority).
+    Returns a SIGNED 64-bit int (Spark LongType-compatible)."""
+    acc = np.zeros(64, dtype=np.int64)
+    words = text.split()
+    if not words:
+        return 0
+    from collections import Counter
+
+    for w, cnt in Counter(words).items():
+        h = np.uint64(_base_hash64(w))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), cnt, -cnt)
+    val = 0
+    for i in range(64):
+        if acc[i] > 0:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([simhash64(t or "") for t in texts], dtype="int64")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on
+    four 16-bit bands (a pair within distance 3 shares at least one
+    exact band — pigeonhole), verified with bit_count."""
+    sigs = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim"))
+    banded = sigs.select(
+        id_col,
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sim"), i * 16)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sim", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.sim").bitwiseXOR(F.col("b.sim"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

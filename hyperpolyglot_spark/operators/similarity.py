@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+  - brute-force cosine top-k: pure built-ins (zip_with + aggregate dot
+    product) — the exactness baseline; one narrow pass + a tiny top-k.
+  - IVF (inverted-file) ANN: deterministic coarse centroids, vectors
+    assigned to nearest centroid (one vectorized numpy pandas UDF);
+    queries probe the n_probe nearest cells only. At 10^12 vectors the
+    probe prunes the scan to cells' partitions (cluster-prunable scan);
+    here the cell assignment is a column, so the filter is pushed down
+    when the table is written partitioned by cell.
+  - embedding cosine near-dup pairs: blocked self-join + cosine > t.
+
+All float math is forced to double before any arithmetic so results are
+reproducible and DuckDB-oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_to_query_col(vec: Column, query: list[float]) -> Column:
+    """cosine(vec, constant query) — JVM-side, no UDF."""
+    q = [float(x) for x in query]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    qcol = F.array(*[F.lit(x) for x in q])
+    v = _as_double(vec)
+    denom = norm_col(v) * F.lit(qn)
+    return F.when(denom > 0, dot_col(v, qcol) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine. orderBy+limit compiles to TakeOrderedAndProject
+    — per-partition heap + tiny driver merge, no full sort shuffle."""
+    sim = cosine_to_query_col(F.col(vec_col), query)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Pairs with cosine > threshold within a blocking key (exact
+    within-block; at scale the block is an IVF cell or LSH bucket)."""
+    side = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+        *( [F.col(block_col)] if block_col else [] ),
+    ).withColumn("n", norm_col(F.col("v")))
+    a, b = side.alias("a"), side.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sim = dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") > threshold)
+    )
+
+
+# ----------------------------------------------------------------------
+# IVF ANN
+# ----------------------------------------------------------------------
+
+def ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse centroids: one k-means-style refinement pass
+    over seeds taken as the n_cells lowest ids (tiny collect: centroids
+    are dim * n_cells floats — dimension-table sized)."""
+    seeds = (
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    C = np.array([r["v"] for r in seeds], dtype=np.float64)
+    assigned = assign_cells(df, C, id_col, vec_col)
+    sums = (
+        assigned.groupBy("cell")
+        .agg(
+            F.array(
+                *[
+                    F.sum(F.element_at(_as_double(F.col(vec_col)), i + 1))
+                    for i in range(C.shape[1])
+                ]
+            ).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .collect()
+    )
+    C2 = C.copy()
+    for r in sums:
+        C2[r["cell"]] = np.array(r["s"], dtype=np.float64) / r["c"]
+    return C2
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (cosine) cell per vector — one vectorized numpy
+    pandas UDF, matrix-multiply per Arrow batch."""
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Vn @ Cn.T, axis=1).astype(np.int32))
+
+    return df.withColumn("cell", cell_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: probe the n_probe cells nearest to the query, exact top-k
+    within them. The cell filter prunes the scan (partition pruning when
+    the index table is stored partitioned by cell)."""
+    q = np.array(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe = np.argsort(-(Cn @ qn))[:n_probe].tolist()
+    assigned = assign_cells(df, centroids, id_col, vec_col)
+    pruned = assigned.filter(F.col("cell").isin(probe))
+    return brute_force_topk(pruned, query, k, id_col, vec_col)
