@@ -22,15 +22,15 @@ def token_count_col(text: Column) -> Column:
     return F.size(words_col(text)).cast("long")
 
 
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count_col(text: Column) -> Column:
-    """BPE-ish subword proxy: count of word chunks + digit runs +
-    punctuation runs (regex-split), the standard cheap token estimate
-    when no real tokenizer is shipped."""
-    pieces = F.filter(
-        F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-        lambda p: (p != "") & (p != " "),
-    )
-    return F.size(pieces).cast("long")
+    """BPE-ish subword proxy: count of letter runs + digit runs +
+    single other non-space chars — the standard cheap token estimate
+    when no real tokenizer is shipped. Lookaround-free so the same
+    pattern runs under Java regex and RE2 (DuckDB oracle)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_RE)).cast("long")
 
 
 def distinct_token_ratio_col(text: Column) -> Column:
