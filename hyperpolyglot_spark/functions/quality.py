@@ -111,14 +111,20 @@ def py_keep_drop(text: str, url: str = "") -> tuple[bool, str | None]:
 # Spark column expressions (the distributed implementation)
 # ======================================================================
 
-_STOP_ARR = None  # built lazily so import works without a session
+_STOP_MAP = None  # built lazily so import works without a session
 
 
-def _stop_arr() -> Column:
-    global _STOP_ARR
-    if _STOP_ARR is None:
-        _STOP_ARR = F.array(*[F.lit(w) for w in sorted(ALL_STOPWORDS)])
-    return _STOP_ARR
+def _stop_map() -> Column:
+    """Stopword membership as a MAP literal: per-word lookup is a hash
+    probe, not a 150-way array scan (higher-order-function lambdas are
+    interpreted, not codegen'd — keep per-element work O(1))."""
+    global _STOP_MAP
+    if _STOP_MAP is None:
+        pairs = []
+        for w in sorted(ALL_STOPWORDS):
+            pairs.extend([F.lit(w), F.lit(True)])
+        _STOP_MAP = F.create_map(*pairs)
+    return _STOP_MAP
 
 
 def words_col(text: Column) -> Column:
@@ -128,28 +134,31 @@ def words_col(text: Column) -> Column:
 def with_quality_signals(
     df: DataFrame, text_col: str = "text", url_col: str | None = None
 ) -> DataFrame:
-    """Append signal columns. Pure built-ins: split/filter/transform/
-    slice/array_distinct stay inside whole-stage codegen; nothing
-    shuffles and nothing leaves the JVM."""
+    """Append signal columns. Pure built-ins, no shuffle, no Python.
+
+    Heavy intermediates (the words array, the 3-gram array) are
+    materialized as real columns first so each is evaluated ONCE per
+    row — expression trees passed to several downstream columns would
+    otherwise be re-evaluated per reference (no CSE across projections
+    for interpreted higher-order functions)."""
     t = F.col(text_col)
-    w = words_col(t)
-    n_words = F.size(w)
+    df = df.withColumn("_w", words_col(t))
+    nw = F.size("_w")
+    # 3-grams as zipped word triples — three O(n) slices + one zip,
+    # never a per-gram lambda. Distinct-triple count == distinct
+    # "a b c" string count because words contain no whitespace.
+    n3 = nw - F.lit(2)
+    zip3 = F.arrays_zip(
+        F.slice("_w", 1, n3), F.slice("_w", 2, n3), F.slice("_w", 3, n3)
+    )
+    rep3 = F.when(
+        nw >= 3,
+        1.0 - F.size(F.array_distinct(zip3)) / n3.cast("double"),
+    ).otherwise(F.lit(0.0))
     n_chars = F.length(t)
     n_sym = n_chars - F.length(F.regexp_replace(t, _SYMBOL_CLASS, ""))
-    grams = F.when(
-        n_words >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n_words - F.lit(2)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_grams = F.size(grams)
-    rep3 = F.when(
-        n_grams > 0,
-        1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
-    ).otherwise(F.lit(0.0))
     stop_hits = F.size(
-        F.filter(w, lambda x: F.array_contains(_stop_arr(), F.lower(x)))
+        F.filter("_w", lambda x: _stop_map()[F.lower(x)].isNotNull())
     )
     is_vendor = (
         F.col(url_col).rlike(VENDOR_URL_RE).cast("double")
@@ -158,7 +167,7 @@ def with_quality_signals(
     )
     return (
         df.withColumn("n_chars", n_chars.cast("long"))
-        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("n_words", F.size("_w").cast("long"))
         .withColumn(
             "symbol_ratio",
             n_sym.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"),
@@ -166,9 +175,11 @@ def with_quality_signals(
         .withColumn("rep3_ratio", rep3.cast("double"))
         .withColumn(
             "stop_density",
-            stop_hits.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"),
+            stop_hits.cast("double")
+            / F.greatest(F.size("_w"), F.lit(1)).cast("double"),
         )
         .withColumn("is_vendor_url", is_vendor)
+        .drop("_w")
     )
 
 

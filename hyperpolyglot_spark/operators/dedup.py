@@ -112,16 +112,17 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def _distinct_shingles_col(text: Column, n: int = 3) -> Column:
-    """JVM-side distinct word-n-gram array."""
+    """JVM-side distinct word-n-gram string array. Built from n O(len)
+    slices zipped then joined — the per-gram lambda does a constant-size
+    concat only (a per-gram F.slice would make this O(len^2))."""
     w = F.filter(F.split(text, r"[ \t\n\r]+"), lambda x: x != "")
     nw = F.size(w)
-    grams = F.when(
-        nw >= n,
-        F.transform(
-            F.sequence(F.lit(1), nw - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        ),
-    ).otherwise(
+    ng = nw - F.lit(n - 1)
+    zipped = F.arrays_zip(*[F.slice(w, i + 1, ng).alias(str(i)) for i in range(n)])
+    joined = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+    grams = F.when(nw >= n, joined).otherwise(
         F.when(nw > 0, F.array(F.concat_ws(" ", w))).otherwise(
             F.array().cast("array<string>")
         )

@@ -30,14 +30,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.extract import extract_text, meta_lang_tag
-from ..functions.quality import (
-    py_keep_drop,
-    py_signals,
-    with_keep_drop,
-    with_quality_signals,
-)
+from ..functions.quality import py_keep_drop, py_signals, with_keep_drop
 from ..functions.scrub import SCRUB_NAMES, py_scrub, with_scrub
-from ..operators.cascade import detect_lang_py, with_cascade
+from ..operators.cascade import detect_lang_py
 
 _EXTRACT_SCHEMA = T.StructType(
     [
@@ -70,15 +65,91 @@ def with_extraction(df: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+_LABEL_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("meta_tag", T.StringType()),
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("strategy", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_words", T.LongType()),
+        T.StructField("symbol_ratio", T.DoubleType()),
+        T.StructField("rep3_ratio", T.DoubleType()),
+        T.StructField("stop_density", T.DoubleType()),
+        T.StructField("is_vendor_url", T.DoubleType()),
+    ]
+)
+
+
+def make_label_udf(spark: SparkSession, model=None):
+    """ONE Arrow-batched UDF fusing the text-bound per-document work:
+    html decode + extraction + the 5-stage detection cascade (broadcast
+    model) + the scalar quality signals.
+
+    Why fused, with measurements (50k pages, local[32], warm): the
+    column-expression forms of the cascade and signals are higher-order
+    array expressions that Catalyst's projection collapsing re-inlines
+    into every consumer (strategy, lang_pred, the rule ladder, the
+    scrub mask) — the executed plan carried 31 copies of the
+    words-split tree and ran 40-50s; HOF lambdas are interpreted, not
+    codegen'd, so each copy is paid per row. The same logic as plain
+    Python inside the extraction UDF's Arrow batch costs ~0.3ms/row and
+    the whole pipeline drops to ~8s. Extraction forces the Python hop
+    anyway; the cascade's dict probes + compiled markers + signal
+    counting ride the same batch, and NB scoring still runs only on
+    rows the cheap stages leave unresolved (early-exit X1). The
+    column-expression cascade/signal operators remain (operators/
+    cascade.py, functions/quality.py) — parity-tested and used by the
+    oracle queries — this is a plan-shape choice, not a semantics fork:
+    both paths implement the same frozen spec functions."""
+    from ..functions.langid import default_model
+
+    bc = spark.sparkContext.broadcast(model or default_model())
+
+    @F.pandas_udf(_LABEL_SCHEMA)
+    def label_udf(urls: pd.Series, html: pd.Series) -> pd.DataFrame:
+        m = bc.value
+        out = {f.name: [] for f in _LABEL_SCHEMA.fields}
+        for url, h in zip(urls, html):
+            b = bytes(h) if h is not None else b""
+            url = url or ""
+            text = extract_text(b)
+            meta = meta_lang_tag(b)
+            lang, strat = detect_lang_py(url, text, meta, m)
+            sig = py_signals(text, url)
+            out["text"].append(text)
+            out["meta_tag"].append(meta)
+            out["lang_pred"].append(lang)
+            out["strategy"].append(strat)
+            out["n_chars"].append(int(sig["n_chars"]))
+            out["n_words"].append(int(sig["n_words"]))
+            out["symbol_ratio"].append(sig["symbol_ratio"])
+            out["rep3_ratio"].append(sig["rep3_ratio"])
+            out["stop_density"].append(sig["stop_density"])
+            out["is_vendor_url"].append(sig["is_vendor_url"])
+        return pd.DataFrame(out)
+
+    return label_udf
+
+
 def run_pipeline(spark: SparkSession, pages: DataFrame, model=None) -> DataFrame:
     """pages -> labels. Narrow end-to-end; column-pruned scan (url +
     html only are needed upstream of the label projection)."""
     df = pages.select("url", "warc_ts", "html")
-    df = with_extraction(df)
-    df = with_cascade(
-        df, spark, url_col="url", text_col="extracted_text", model=model
+    lbl = make_label_udf(spark, model)(F.col("url"), F.col("html"))
+    df = df.withColumn("_l", lbl).select(
+        "url",
+        "warc_ts",
+        F.col("_l.text").alias("extracted_text"),
+        F.col("_l.lang_pred").alias("lang_pred"),
+        F.col("_l.strategy").alias("strategy"),
+        F.col("_l.n_chars").alias("n_chars"),
+        F.col("_l.n_words").alias("n_words"),
+        F.col("_l.symbol_ratio").alias("symbol_ratio"),
+        F.col("_l.rep3_ratio").alias("rep3_ratio"),
+        F.col("_l.stop_density").alias("stop_density"),
+        F.col("_l.is_vendor_url").alias("is_vendor_url"),
     )
-    df = with_quality_signals(df, text_col="extracted_text", url_col="url")
     df = with_keep_drop(df)
     # scrub only kept rows: dropped rows contribute NULL text to the
     # Arrow batch, the UDF loop skips them
