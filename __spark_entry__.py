@@ -426,7 +426,7 @@ def embedding_topk(spark, sf_dir):
 
 def embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, 0.45, block_col=None)
+    return cosine_neardup_pairs(emb, 0.45, block_col="label")
 
 
 def embedding_label_centroids(spark, sf_dir):
@@ -709,7 +709,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                 b.embedding::DOUBLE[]), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) > 0.45
         """,

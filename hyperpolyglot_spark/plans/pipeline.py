@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.extract import extract_text, meta_lang_tag
-from ..functions.quality import py_keep_drop, py_signals, with_keep_drop
-from ..functions.scrub import SCRUB_NAMES, py_scrub, with_scrub
+from ..functions.quality import py_keep_drop, py_signals
+from ..functions.scrub import SCRUB_NAMES, py_scrub
 from ..operators.cascade import detect_lang_py
 
 _EXTRACT_SCHEMA = T.StructType(
@@ -68,40 +68,46 @@ def with_extraction(df: DataFrame, html_col: str = "html") -> DataFrame:
 _LABEL_SCHEMA = T.StructType(
     [
         T.StructField("text", T.StringType()),
-        T.StructField("meta_tag", T.StringType()),
         T.StructField("lang_pred", T.StringType()),
         T.StructField("strategy", T.StringType()),
+        T.StructField("keep", T.BooleanType()),
+        T.StructField("drop_rule", T.StringType()),
+        T.StructField("scrubbed_text", T.StringType()),
+    ]
+    + [T.StructField(f"scrub_{n}", T.IntegerType()) for n in SCRUB_NAMES]
+    + [
         T.StructField("n_chars", T.LongType()),
         T.StructField("n_words", T.LongType()),
         T.StructField("symbol_ratio", T.DoubleType()),
         T.StructField("rep3_ratio", T.DoubleType()),
         T.StructField("stop_density", T.DoubleType()),
-        T.StructField("is_vendor_url", T.DoubleType()),
     ]
 )
 
 
 def make_label_udf(spark: SparkSession, model=None):
-    """ONE Arrow-batched UDF fusing the text-bound per-document work:
-    html decode + extraction + the 5-stage detection cascade (broadcast
-    model) + the scalar quality signals.
+    """ONE Arrow-batched UDF for ALL text-bound per-document work:
+    html decode + extraction + the 5-stage cascade (broadcast model) +
+    quality signals + first-match-wins keep/drop + scrub of kept rows —
+    i.e. py_label_page vectorized over Arrow batches.
 
-    Why fused, with measurements (50k pages, local[32], warm): the
-    column-expression forms of the cascade and signals are higher-order
-    array expressions that Catalyst's projection collapsing re-inlines
-    into every consumer (strategy, lang_pred, the rule ladder, the
-    scrub mask) — the executed plan carried 31 copies of the
-    words-split tree and ran 40-50s; HOF lambdas are interpreted, not
-    codegen'd, so each copy is paid per row. The same logic as plain
-    Python inside the extraction UDF's Arrow batch costs ~0.3ms/row and
-    the whole pipeline drops to ~8s. Extraction forces the Python hop
-    anyway; the cascade's dict probes + compiled markers + signal
-    counting ride the same batch, and NB scoring still runs only on
-    rows the cheap stages leave unresolved (early-exit X1). The
-    column-expression cascade/signal operators remain (operators/
-    cascade.py, functions/quality.py) — parity-tested and used by the
-    oracle queries — this is a plan-shape choice, not a semantics fork:
-    both paths implement the same frozen spec functions."""
+    Why one fused stage, with measurements (50k pages, local[32], warm):
+      - column-expression cascade/signals: Catalyst's projection
+        collapsing re-inlines the higher-order array trees into every
+        consumer (the executed plan carried 31 copies of the words-split
+        tree), and HOF lambdas are interpreted, not codegen'd -> 40-50s.
+      - two chained python stages (label, then scrub): each extra
+        ArrowEvalPython buffers all pass-through columns in a row queue
+        while python computes -> +6.5s for 0.5s of regex work.
+      - one fused Arrow stage: 1.6s of python (0.4ms/row single-core,
+        scales 0.85+ to 32 procs), scan -> UDF -> project, no queue.
+    At 10^12 docs this shape also minimizes bytes crossing the
+    JVM<->Python boundary: one hop, html in, labels out. The cascade is
+    still early-exit (X1): NB scoring runs only on rows the cheap
+    stages leave unresolved, scrub only on kept rows (X5).
+    The column-expression operators (operators/cascade.py,
+    functions/quality.py, functions/scrub.py) remain parity-tested and
+    drive the oracle queries — same frozen spec, different plan shape."""
     from ..functions.langid import default_model
 
     bc = spark.sparkContext.broadcast(model or default_model())
@@ -112,68 +118,24 @@ def make_label_udf(spark: SparkSession, model=None):
         out = {f.name: [] for f in _LABEL_SCHEMA.fields}
         for url, h in zip(urls, html):
             b = bytes(h) if h is not None else b""
-            url = url or ""
-            text = extract_text(b)
-            meta = meta_lang_tag(b)
-            lang, strat = detect_lang_py(url, text, meta, m)
-            sig = py_signals(text, url)
-            out["text"].append(text)
-            out["meta_tag"].append(meta)
-            out["lang_pred"].append(lang)
-            out["strategy"].append(strat)
-            out["n_chars"].append(int(sig["n_chars"]))
-            out["n_words"].append(int(sig["n_words"]))
-            out["symbol_ratio"].append(sig["symbol_ratio"])
-            out["rep3_ratio"].append(sig["rep3_ratio"])
-            out["stop_density"].append(sig["stop_density"])
-            out["is_vendor_url"].append(sig["is_vendor_url"])
+            row = py_label_page(url or "", b, m)
+            for k, v in row.items():
+                if k != "url":
+                    out[k].append(v)
         return pd.DataFrame(out)
 
     return label_udf
 
 
 def run_pipeline(spark: SparkSession, pages: DataFrame, model=None) -> DataFrame:
-    """pages -> labels. Narrow end-to-end; column-pruned scan (url +
-    html only are needed upstream of the label projection)."""
+    """pages -> labels. scan -> one Arrow stage -> project; narrow
+    end-to-end (no shuffle until the metrics aggregation); the scan is
+    column-pruned to (url, warc_ts, html)."""
     df = pages.select("url", "warc_ts", "html")
     lbl = make_label_udf(spark, model)(F.col("url"), F.col("html"))
-    df = df.withColumn("_l", lbl).select(
-        "url",
-        "warc_ts",
-        F.col("_l.text").alias("extracted_text"),
-        F.col("_l.lang_pred").alias("lang_pred"),
-        F.col("_l.strategy").alias("strategy"),
-        F.col("_l.n_chars").alias("n_chars"),
-        F.col("_l.n_words").alias("n_words"),
-        F.col("_l.symbol_ratio").alias("symbol_ratio"),
-        F.col("_l.rep3_ratio").alias("rep3_ratio"),
-        F.col("_l.stop_density").alias("stop_density"),
-        F.col("_l.is_vendor_url").alias("is_vendor_url"),
-    )
-    df = with_keep_drop(df)
-    # scrub only kept rows: dropped rows contribute NULL text to the
-    # Arrow batch, the UDF loop skips them
-    df = df.withColumn(
-        "_scrub_in", F.when(F.col("keep"), F.col("extracted_text"))
-    )
-    df = with_scrub(df, text_col="_scrub_in")
-    scrub_cols = [F.col(f"scrub_{n}") for n in SCRUB_NAMES]
-    return df.select(
-        "url",
-        "warc_ts",
-        F.col("extracted_text").alias("text"),
-        "lang_pred",
-        "strategy",
-        "keep",
-        "drop_rule",
-        "scrubbed_text",
-        *scrub_cols,
-        "n_chars",
-        "n_words",
-        "symbol_ratio",
-        "rep3_ratio",
-        "stop_density",
-    )
+    df = df.withColumn("_l", lbl)
+    cols = [F.col(f"_l.{f.name}").alias(f.name) for f in _LABEL_SCHEMA.fields]
+    return df.select("url", "warc_ts", *cols)
 
 
 def metrics(labels: DataFrame) -> DataFrame:
