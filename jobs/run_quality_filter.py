@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the web-text quality-filter pipeline.
+
+Cluster launch (north star):
+
+    zip -r hyperpolyglot_spark.zip hyperpolyglot_spark
+    spark-submit --py-files hyperpolyglot_spark.zip \\
+        jobs/run_quality_filter.py \\
+        --input  /path/to/pages_parquet_or_iceberg \\
+        --output /path/to/out \\
+        --n-buckets 4096 --group-size 256
+
+Resumable: re-running the same command continues from the bucket
+manifest (plans/resume.py). Metrics + per-bucket lineage land under
+<output>/_manifest; labels under <output>/labels partitioned by bucket.
+
+With --synthesize N the job generates N deterministic synthetic pages
+instead of reading --input (self-contained smoke/bench runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", help="pages table path (parquet dir)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--group-size", type=int, default=16)
+    p.add_argument("--synthesize", type=int, default=0,
+                   help="generate N synthetic pages instead of --input")
+    p.add_argument("--cores", type=int, default=None,
+                   help="local[N] cores; omit on a real cluster")
+    args = p.parse_args(argv)
+
+    from hyperpolyglot_spark.session import get_spark
+    from hyperpolyglot_spark.plans.resume import run_with_resume
+
+    spark = get_spark("quality_filter", cores=args.cores)
+    if args.synthesize:
+        from hyperpolyglot_spark.datagen.pages import pages_df
+
+        pages = pages_df(spark, args.synthesize)
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        p.error("need --input or --synthesize")
+
+    groups = run_with_resume(
+        spark,
+        pages,
+        args.output,
+        n_buckets=args.n_buckets,
+        group_size=args.group_size,
+    )
+    print(f"completed {groups} bucket group(s); output at {args.output}")
+
+    manifest = spark.read.parquet(f"{args.output}/_manifest")
+    manifest.orderBy("bucket").show(200, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

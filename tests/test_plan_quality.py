@@ -1,0 +1,92 @@
+"""Physical-plan quality gates — the .explain() audit as assertions.
+
+These guard the properties that matter at 100 TB: filters reach the
+parquet scan, column pruning holds, small dims broadcast, the pages
+pipeline stays narrow with exactly one Python stage, and aggregations
+are partial+final (no raw-row shuffles).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from hyperpolyglot_spark.datagen.pages import gen_pages_pdf
+from hyperpolyglot_spark.plans.pipeline import metrics, run_pipeline
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = plan_of(entry_mod.q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: projection must not read unused lineitem columns
+    assert "l_partkey" not in plan and "l_suppkey" not in plan
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    plan = plan_of(entry_mod.q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = plan_of(entry_mod.q5_region_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_semi_anti_join_strategies(spark):
+    semi = plan_of(entry_mod.orders_with_heavy_items(spark, SF))
+    anti = plan_of(entry_mod.customers_without_orders(spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+    # quantity filter pushed into the lineitem scan of the semi side
+    assert "GreaterThan(l_quantity,49" in semi
+
+
+def test_topk_uses_heap_not_global_sort(spark):
+    plan = plan_of(entry_mod.top_suppliers(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # per-partition heap + merge
+
+
+def test_pipeline_is_narrow_single_python_stage(spark):
+    pages = spark.createDataFrame(gen_pages_pdf(50))
+    labels = run_pipeline(spark, pages)
+    plan = plan_of(labels)
+    assert plan.count("ArrowEvalPython") == 1  # one fused python hop
+    assert "Exchange" not in plan  # zero shuffles scan -> labels
+    m = plan_of(metrics(labels))
+    # the metrics agg shuffles only the aggregate, partial+final
+    assert m.count("Exchange") == 1
+    assert m.count("HashAggregate") >= 2
+
+
+def test_pipeline_scan_column_pruned(spark, tmp_path):
+    # from parquet (pruning is a scan feature): only url/warc_ts/html read
+    path = str(tmp_path / "pp")
+    spark.createDataFrame(gen_pages_pdf(50)).write.parquet(path)
+    labels = run_pipeline(spark, spark.read.parquet(path))
+    plan = plan_of(labels)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" in read_schema and "url" in read_schema
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_agg_is_partial_final(spark):
+    plan = plan_of(entry_mod.lang_breakdown(spark, SF))
+    # partial_count then final count around one exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_minhash_bucket_join_prunes_pairs(spark):
+    """The LSH path must join on (band, bucket) — never a cross join."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from hyperpolyglot_spark.operators.dedup import lsh_candidate_pairs
+
+    plan = plan_of(lsh_candidate_pairs(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
