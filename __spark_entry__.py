@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -233,6 +234,57 @@ def segment_set_ops(spark, sf_dir):
     )
 
 
+def min_cost_supplier_per_nation(spark, sf_dir):
+    """Greatest-per-group (TPC-H q2 analog): cheapest-acctbal supplier
+    per nation via window rank — the decorrelated form of a correlated
+    subquery."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    best = sup.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return best.join(
+        F.broadcast(nation), best.s_nationkey == nation.n_nationkey
+    ).select("n_name", "s_suppkey", "s_name", "s_acctbal")
+
+
+def nation_customer_supplier_counts(spark, sf_dir):
+    """FULL OUTER join: per nation, #customers and #suppliers, keeping
+    nations that have only one side."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cust.join(sup, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+def sql_api_revenue_by_priority(spark, sf_dir):
+    """Same engine through the SQL API surface (temp view + spark.sql):
+    Catalyst produces the identical plan either way."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_price,
+               round(avg(o_totalprice), 6) AS avg_price
+        FROM v_orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 # ======================================================================
 # events: time windows, sessionization, pivot
 # ======================================================================
@@ -272,6 +324,48 @@ def events_type_pivot(spark, sf_dir):
         for t in ("click", "view", "purchase", "signup", "error")
     ]
     return ev.groupBy("user_id").agg(*aggs)
+
+
+def events_value_stats(spark, sf_dir):
+    """Exact percentiles + dispersion per event_type (statistics agg
+    family)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.stddev("value"), 6).alias("sd"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+def events_salted_counts(spark, sf_dir):
+    """Two-phase salted aggregation (north-rule skew pattern): the 5
+    event types are hot keys, so phase 1 aggregates (key, salt) to
+    spread the combine across 16x more reducers, phase 2 merges the
+    partials. Result is identical to a direct groupBy — which is the
+    oracle."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 4).alias("total_value"),
+    )
+
+
+def source_langs_csv(spark, sf_dir):
+    """Sorted collect_set rendered as a stable string (the per-strategy
+    sorted-tally analog, src/bin/main.rs:163-175)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_join(F.sort_array(F.collect_set("lang")), ",").alias(
+            "langs_csv"
+        ),
+        F.count("*").alias("docs"),
+    )
 
 
 def events_top_users(spark, sf_dir):
@@ -336,6 +430,37 @@ def regex_marker_counts(spark, sf_dir):
         F.regexp_count(t, F.lit(r"\bthe\b")).cast("long").alias("n_the"),
         F.regexp_count(t, F.lit(r"\bvalue\b")).cast("long").alias("n_value"),
         F.regexp_count(t, F.lit(r"[0-9]+")).cast("long").alias("n_numbers"),
+    )
+
+
+def lang_chars_zscore(spark, sf_dir):
+    """Grouped-map pandas UDF (applyInPandas): per-language z-score of
+    doc length — the custom-stateful-per-group surface. Oracle is the
+    equivalent window SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        pdf["z"] = ((pdf["n_chars"] - mu) / sd).round(6)
+        return pdf[["doc_id", "lang", "z"]]
+
+    return docs.groupBy("lang").applyInPandas(
+        zscore, "doc_id long, lang string, z double"
+    )
+
+
+def lang_median_chars(spark, sf_dir):
+    """Grouped-aggregate pandas UDF: exact median per language."""
+
+    @F.pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:  # noqa: F821 - resolved by pyspark
+        return float(v.median())
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggs in one agg list
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(median_udf("n_chars"), 6).alias("median_chars")
     )
 
 
@@ -464,6 +589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_priority": rollup_order_priority,
         "distinct_types_per_brand": distinct_types_per_brand,
         "segment_set_ops": segment_set_ops,
+        "min_cost_supplier_per_nation": min_cost_supplier_per_nation,
+        "nation_customer_supplier_counts": nation_customer_supplier_counts,
+        "sql_api_revenue_by_priority": sql_api_revenue_by_priority,
+        "events_value_stats": events_value_stats,
+        "events_salted_counts": events_salted_counts,
+        "source_langs_csv": source_langs_csv,
         "events_hourly": events_hourly,
         "events_sessionization": events_sessionization,
         "events_type_pivot": events_type_pivot,
@@ -473,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
         "regex_marker_counts": regex_marker_counts,
+        "lang_chars_zscore": lang_chars_zscore,
+        "lang_median_chars": lang_median_chars,
         "exact_dedup_documents": exact_dedup_documents,
         "neardup_jaccard_pairs": neardup_jaccard_pairs,
         "neardup_minhash_pairs": neardup_minhash_pairs,
@@ -582,6 +715,51 @@ def oracle_sql() -> dict[str, str]:
               EXCEPT
               SELECT c_custkey FROM customer WHERE c_nationkey = 3)
         """,
+        "min_cost_supplier_per_nation": """
+            SELECT n_name, s_suppkey, s_name, s_acctbal FROM (
+              SELECT s.*, row_number() OVER (PARTITION BY s_nationkey
+                                             ORDER BY s_acctbal, s_suppkey) AS rk
+              FROM supplier s) b
+            JOIN nation ON b.s_nationkey = n_nationkey
+            WHERE rk = 1
+        """,
+        "nation_customer_supplier_counts": """
+            SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+                   coalesce(n_customers, 0) AS n_customers,
+                   coalesce(n_suppliers, 0) AS n_suppliers
+            FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                  FROM customer GROUP BY 1) c
+            FULL OUTER JOIN
+                 (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                  FROM supplier GROUP BY 1) s
+              USING (nationkey)
+        """,
+        "sql_api_revenue_by_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_price,
+                   round(avg(o_totalprice), 6) AS avg_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "events_value_stats": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(stddev_samp(value), 6) AS sd,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "events_salted_counts": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "source_langs_csv": """
+            SELECT source,
+                   array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs_csv,
+                   count(*) AS docs
+            FROM documents GROUP BY source
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS total_value
@@ -653,6 +831,16 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\\bvalue\\b'))::BIGINT AS n_value,
                    len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_numbers
             FROM documents
+        """,
+        "lang_chars_zscore": """
+            SELECT doc_id, lang,
+                   round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                         / stddev_samp(n_chars) OVER (PARTITION BY lang), 6) AS z
+            FROM documents
+        """,
+        "lang_median_chars": """
+            SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+            FROM documents GROUP BY lang
         """,
         "exact_dedup_documents": """
             SELECT md5(text) AS text_hash,
