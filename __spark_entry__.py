@@ -433,6 +433,38 @@ def regex_marker_counts(spark, sf_dir):
     )
 
 
+def family_breakdown(spark, sf_dir):
+    """Broadcast join to the language-info dim + type filter (P5 analog:
+    reference keeps only Markup/Programming for reports,
+    src/bin/main.rs:46-52). Dim is a literal table; oracle inlines the
+    same VALUES."""
+    from hyperpolyglot_spark.functions.langdata import LANG_INFO
+
+    docs = _t(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(
+        [(l, i["family"], i["script"]) for l, i in sorted(LANG_INFO.items())],
+        "lang string, family string, script string",
+    )
+    return (
+        docs.join(F.broadcast(dim), "lang", "left")
+        .filter(F.col("script") == "latin")
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def docs_matching_regex(spark, sf_dir):
+    """rlike section filter (P6 analog, src/bin/main.rs:22-28): keep
+    docs whose text matches a user regex."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").rlike(r"(^| )table (scan|merge)( |$)")
+    ).select("doc_id", "lang")
+
+
 def lang_chars_zscore(spark, sf_dir):
     """Grouped-map pandas UDF (applyInPandas): per-language z-score of
     doc length — the custom-stateful-per-group surface. Oracle is the
@@ -604,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
         "regex_marker_counts": regex_marker_counts,
+        "family_breakdown": family_breakdown,
+        "docs_matching_regex": docs_matching_regex,
         "lang_chars_zscore": lang_chars_zscore,
         "lang_median_chars": lang_median_chars,
         "exact_dedup_documents": exact_dedup_documents,
@@ -831,6 +865,26 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\\bvalue\\b'))::BIGINT AS n_value,
                    len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_numbers
             FROM documents
+        """,
+        "family_breakdown": """
+            SELECT family, count(*) AS docs,
+                   count(DISTINCT d.lang) AS n_langs
+            FROM documents d
+            LEFT JOIN (VALUES ('en','germanic','latin'),
+                              ('de','germanic','latin'),
+                              ('nl','germanic','latin'),
+                              ('fr','romance','latin'),
+                              ('es','romance','latin'),
+                              ('it','romance','latin'),
+                              ('pt','romance','latin'),
+                              ('zh','sinitic','han'))
+                   AS li(lang, family, script) ON d.lang = li.lang
+            WHERE script = 'latin'
+            GROUP BY family
+        """,
+        "docs_matching_regex": """
+            SELECT doc_id, lang FROM documents
+            WHERE regexp_matches(text, '(^| )table (scan|merge)( |$)')
         """,
         "lang_chars_zscore": """
             SELECT doc_id, lang,

@@ -161,3 +161,16 @@ MARKER_RULES: dict[str, str] = {
 ALL_STOPWORDS: frozenset[str] = frozenset(
     w for lang in LANGUAGES for w in STOPWORDS[lang]
 )
+
+# --- language info dim (Language{name,type,color,group} analog,
+# reference src/lib.rs:48-57 from languages.yml) -----------------------
+LANG_INFO: dict[str, dict[str, str]] = {
+    "en": {"family": "germanic", "script": "latin"},
+    "de": {"family": "germanic", "script": "latin"},
+    "nl": {"family": "germanic", "script": "latin"},
+    "fr": {"family": "romance", "script": "latin"},
+    "es": {"family": "romance", "script": "latin"},
+    "it": {"family": "romance", "script": "latin"},
+    "pt": {"family": "romance", "script": "latin"},
+    "zh": {"family": "sinitic", "script": "han"},
+}

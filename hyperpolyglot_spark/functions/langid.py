@@ -112,6 +112,28 @@ def train_spark(df: DataFrame, lang_col: str = "lang", text_col: str = "text") -
     return model
 
 
+def save_model(spark: SparkSession, model: Model, path: str) -> None:
+    """Persist the trained model as a (lang, gram, logp) parquet table —
+    the codegen-sink analog (reference codegen.rs:175-203 writes static
+    map files; our offline fit job writes a model table that score time
+    broadcasts)."""
+    rows = [
+        (lang, gram, logp)
+        for lang, grams in sorted(model.items())
+        for gram, logp in sorted(grams.items())
+    ]
+    spark.createDataFrame(
+        rows, "lang string, gram string, logp double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_model(spark: SparkSession, path: str) -> Model:
+    model: Model = {}
+    for row in spark.read.parquet(path).collect():
+        model.setdefault(row["lang"], {})[row["gram"]] = row["logp"]
+    return model
+
+
 _DEFAULT_MODEL: Model | None = None
 
 

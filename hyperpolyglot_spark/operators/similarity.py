@@ -159,6 +159,15 @@ def assign_cells(
     return df.withColumn("cell", cell_udf(F.col(vec_col)))
 
 
+def _probe_cells(centroids: np.ndarray, query: list[float], n_probe: int) -> list[int]:
+    q = np.array(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    return np.argsort(-(Cn @ qn))[:n_probe].tolist()
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: np.ndarray,
@@ -170,13 +179,55 @@ def ivf_topk(
 ) -> DataFrame:
     """ANN: probe the n_probe cells nearest to the query, exact top-k
     within them. The cell filter prunes the scan (partition pruning when
-    the index table is stored partitioned by cell)."""
-    q = np.array(query, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    Cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-    )
-    probe = np.argsort(-(Cn @ qn))[:n_probe].tolist()
+    the index table is stored partitioned by cell — see
+    build_ivf_index/ivf_topk_indexed)."""
+    probe = _probe_cells(centroids, query, n_probe)
     assigned = assign_cells(df, centroids, id_col, vec_col)
     pruned = assigned.filter(F.col("cell").isin(probe))
     return brute_force_topk(pruned, query, k, id_col, vec_col)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index: vectors written PARTITIONED BY cell,
+    centroids alongside. At 10^12 vectors this is the layout that turns
+    a probe into a partition-pruned scan (only n_probe/n_cells of the
+    data is ever read)."""
+    C = ivf_centroids(df, n_cells, id_col, vec_col)
+    assigned = assign_cells(df, C, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/index"
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return C
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the materialized index: the cell IN-filter lands in the
+    scan's PartitionFilters, so non-probed cells are never read."""
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.zeros((len(cents), len(cents[0]["centroid"])))
+    for r in cents:
+        C[r["cell"]] = r["centroid"]
+    probe = _probe_cells(C, query, n_probe)
+    idx = spark.read.parquet(f"{path}/index").filter(
+        F.col("cell").isin(probe)
+    )
+    return brute_force_topk(idx, query, k, id_col, vec_col)
