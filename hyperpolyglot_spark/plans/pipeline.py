@@ -1,21 +1,22 @@
 """The end-to-end quality-filter pipeline over a ``pages`` table.
 
     pages(url, warc_ts, html, text, lang)
-      -> extract (pandas UDF: html -> extracted_text + meta_tag)
-      -> cascade language ID   (operators/cascade.py)
-      -> quality signals + keep/drop (functions/quality.py, pure JVM)
-      -> PII/toxicity scrub    (functions/scrub.py, kept rows only)
-      -> labels DataFrame (FIXTURES.md §2 schema)
+      -> ONE Arrow-batched label UDF:
+           extract -> cascade language ID -> quality signals ->
+           first-match-wins keep/drop -> scrub (kept rows only)
+      -> project labels (FIXTURES.md §2 schema)
+      -> metrics()/breakdown() aggregations
 
-Stage order implements the early-exit economics of the reference
-cascade (X1/X5): the scrub UDF sees only kept rows' text (dropped rows
-pass NULL through the batch at ~zero cost), and the classifier UDF sees
-only rows the cheap stages could not resolve.
+Stage ordering inside the UDF implements the early-exit economics of
+the reference cascade (X1/X5): the NB classifier scores only rows the
+cheap metadata stages leave unresolved, and the scrub regexes run only
+on kept rows. See make_label_udf's docstring for the measured plan-shape
+rationale (why one fused Arrow stage beats column-expression HOFs and
+chained python stages here).
 
-The whole plan is narrow (no shuffle) from scan to labels — metrics
-aggregation and any final repartition are the only exchanges, which is
-what you want at 10^12 documents: shuffle only the tiny aggregate, never
-the corpus.
+The whole plan is narrow (no shuffle) from scan to labels — the metrics
+aggregation is the only exchange, which is what you want at 10^12
+documents: shuffle only the tiny aggregate, never the corpus.
 
 py_label_page() is the frozen single-node oracle — the Spark pipeline
 must reproduce it per url with keep/drop F1 >= 0.99 (BASELINE.json;

@@ -56,6 +56,49 @@ def streaming_metrics(labels: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def host_quota_stream(labels: DataFrame, max_kept_per_host: int = 100) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-host KEPT-document quota. State = docs kept so far per host;
+    each micro-batch emits (host, kept_before, kept_now, quota_hit).
+    This is the pattern a crawl-dedup/budget stage needs — semantics a
+    windowed agg can't express because the quota decision depends on
+    all history, not a window."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        host = key[0]
+        kept_before = state.get[0] if state.exists else 0
+        new_kept = 0
+        for pdf in pdfs:
+            new_kept += int(pdf["keep"].fillna(False).sum())
+        admitted = max(0, min(new_kept, max_kept_per_host - kept_before))
+        state.update((kept_before + new_kept,))
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "kept_before": [kept_before],
+                "kept_now": [new_kept],
+                "admitted": [admitted],
+                "quota_hit": [kept_before + new_kept > max_kept_per_host],
+            }
+        )
+
+    with_host = labels.withColumn(
+        "host", F.lower(F.get(F.split("url", "/"), 2))
+    )
+    return with_host.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "host string, kept_before long, kept_now long, "
+            "admitted long, quota_hit boolean"
+        ),
+        stateStructType="kept long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_once(
     spark: SparkSession,
     input_dir: str,

@@ -1,0 +1,113 @@
+"""Property-based robustness tests (hypothesis) — the reference suite
+has none (SURVEY.md §5.4); these harden the spec functions against the
+arbitrary bytes a 100 TB crawl will throw at them."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hyperpolyglot_spark.functions.extract import (
+    extract_text,
+    truncate_to_char_boundary,
+)
+from hyperpolyglot_spark.functions.langid import classify_py, text_grams
+from hyperpolyglot_spark.functions.metadata import (
+    filter_candidates,
+    tld_candidates,
+    url_hint_lang,
+)
+from hyperpolyglot_spark.functions.quality import py_keep_drop, py_signals
+from hyperpolyglot_spark.functions.scrub import py_scrub
+from hyperpolyglot_spark.functions.shebang import get_languages_from_shebang
+from hyperpolyglot_spark.functions.tokenizer import get_key_tokens, tokenize
+
+TEXT = st.text(max_size=400)
+BYTES = st.binary(max_size=800)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_tokenizer_total_and_lossless_order(s):
+    toks = tokenize(s)
+    # every lexeme is a substring of the input, appearing in order
+    pos = 0
+    for t in toks:
+        assert t.text, t
+        idx = s.find(t.text, pos)
+        assert idx >= 0, (t, s)
+        pos = idx + len(t.text)
+    assert get_key_tokens(s) == [
+        t.text for t in toks if t.kind in ("ident", "symbol")
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(BYTES)
+def test_extract_never_raises_and_is_capped(b):
+    out = extract_text(b)
+    assert len(out.encode("utf-8")) <= 51200
+    assert extract_text(b) == out  # deterministic
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200), st.integers(min_value=0, max_value=64))
+def test_truncate_boundary_valid_utf8(s, cap):
+    out = truncate_to_char_boundary(s, cap)
+    assert len(out.encode("utf-8")) <= cap
+    assert s.startswith(out)
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT, st.text(max_size=100))
+def test_signals_bounded(text, url):
+    sig = py_signals(text, url)
+    assert 0.0 <= sig["symbol_ratio"] <= 1.0
+    assert 0.0 <= sig["rep3_ratio"] <= 1.0
+    assert 0.0 <= sig["stop_density"] <= 1.0
+    keep, rule = py_keep_drop(text, url)
+    assert keep == (rule is None)
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT)
+def test_scrub_idempotent(s):
+    once, counts1 = py_scrub(s)
+    twice, counts2 = py_scrub(once)
+    assert twice == once  # scrubbing scrubbed text changes nothing
+    assert all(v == 0 for v in counts2.values()) or any(
+        v > 0 for v in counts1.values()
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=4, unique=True),
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=4, unique=True),
+)
+def test_filter_candidates_laws(prev, new):
+    out = filter_candidates(prev, new)
+    if prev and new:
+        # result is prev-ordered and a subset of prev, never empty
+        assert out == [x for x in prev if x in out]
+        assert set(out) <= set(prev)
+        assert out
+    elif not prev:
+        assert out == new
+    else:
+        assert out == prev
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_classify_total(s):
+    lang = classify_py(s, None)
+    assert isinstance(lang, str) and lang
+    assert len(text_grams(s)) <= 1998
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=120))
+def test_shebang_and_url_detectors_total(s):
+    assert isinstance(get_languages_from_shebang(s), list)
+    url = "https://" + s.replace("\n", "")
+    assert tld_candidates(url) is not None
+    url_hint_lang(url)  # must not raise
