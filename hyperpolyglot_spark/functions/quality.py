@@ -35,10 +35,34 @@ _WS_SPLIT_RE = re.compile(r"[ \t\n\r\f\x0b]+")
 # Vendor/boilerplate URL blocklist — the P3/P4 analog of the reference's
 # ~120 vendored-path globs (src/filters/vendor.rs, documentation.rs),
 # compiled to ONE regex alternation so it is a single pushed-down
-# predicate. Java- and RE2-safe (no lookaround).
+# predicate. Java- and RE2-safe (no lookaround). Categories mirror the
+# reference's: third-party asset dirs, minified bundles, tracking,
+# admin/infra paths, and boilerplate/legal sections (the doc-filter
+# analog).
+_VENDOR_PATH_DIRS = (
+    "ads?", "adserver", "tracking", "trackers?", "analytics", "pixel",
+    "cdn-cgi", "wp-admin", "wp-includes", "wp-json", "xmlrpc",
+    "assets/vendor", "static/vendor", "node_modules", "bower_components",
+    "third[_-]party", "vendor/bundles?", "dist/min", "min/js", "min/css",
+    "cgi-bin", "__media__", "plesk-stat", "webstat", "awstats",
+)
+_BOILERPLATE_SECTIONS = (
+    "privacy-policy", "privacy_policy", "terms-of-service", "terms-of-use",
+    "cookie-policy", "cookie-notice", "legal-notice", "impressum",
+    "disclaimer", "unsubscribe", "login", "signin", "signup", "register",
+    "cart", "checkout", "wishlist", "account/settings", "sitemap\\.xml",
+    "robots\\.txt", "favicon\\.ico", "feed\\.xml", "rss\\.xml",
+)
+_BOILERPLATE_FILES = (
+    r"[^/]*\.min\.(?:js|css)", r"jquery[^/]*\.js", r"bootstrap[^/]*\.(?:js|css)",
+    r"modernizr[^/]*\.js", r"gtag\.js", r"fbevents\.js", r"ga\.js",
+)
 VENDOR_URL_RE = (
-    r"(?:/(?:ads?|tracking|cdn-cgi|wp-admin|assets/vendor|node_modules)/"
-    r"|[?&]utm_[a-z]+=|/(?:privacy-policy|terms-of-service|cookie-policy)(?:/|$))"
+    "(?:/(?:" + "|".join(_VENDOR_PATH_DIRS) + ")/"
+    "|[?&](?:utm_[a-z]+|gclid|fbclid|mc_eid|ref_src)="
+    "|/(?:" + "|".join(_BOILERPLATE_SECTIONS) + ")(?:/|$)"
+    "|/(?:" + "|".join(_BOILERPLATE_FILES) + ")(?:$|[?#])"
+    ")"
 )
 _VENDOR_URL_COMPILED = re.compile(VENDOR_URL_RE)
 
