@@ -919,6 +919,27 @@ def oracle_sql() -> dict[str, str]:
                                    - len(list_intersect(a.grams, b.grams)), 1),
                         6) >= 0.5
         """,
+        "neardup_minhash_pairs": f"""
+            -- oracle = exact all-pairs jaccard (unblocked): the LSH
+            -- candidates are exactly verified, and at this corpus's
+            -- similarity distribution (true pairs ~0.99, next <=0.03)
+            -- the 16x4-band S-curve recall is ~1, so LSH+verify ==
+            -- exact (equality also asserted in tests/test_operators.py)
+            WITH g AS (
+              SELECT doc_id, {_GRAMS3} AS grams
+              FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / greatest(len(a.grams) + len(b.grams)
+                                    - len(list_intersect(a.grams, b.grams)), 1),
+                         6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                        / greatest(len(a.grams) + len(b.grams)
+                                   - len(list_intersect(a.grams, b.grams)), 1),
+                        6) >= 0.5
+        """,
         "classifier_training_agg": """
             WITH grams AS (
               SELECT lang, substring(t, i, 3) AS gram

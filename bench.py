@@ -93,14 +93,21 @@ def bench_pipeline(spark, sf: float, with_metrics: bool = True) -> dict:
     # explicit url-hash repartition (north-star plan shape): evens out
     # skewed input files across workers; sized to the core count
     pages = pages.repartition(max(CPUS, 16), "url")
-    # full warmup run: compiles the exact plan's codegen, spawns every
-    # python worker, ships the broadcast model, lets JIT see the real
-    # loop — the timed runs then measure steady-state throughput (the
-    # quantity that scales with executors). best-of-2 to damp noise
-    # from other tenants on the box.
-    _force(run_pipeline(spark, pages))
+    # warmup compiles the exact plan's codegen, spawns every python
+    # worker, and ships the broadcast model so the timed runs measure
+    # steady-state throughput (the quantity that scales with
+    # executors). SPARK_GRAFT_WARM_SAMPLE=1 warms on a 10% hash sample
+    # (hits every partition) — used by the long scaling legs.
+    from pyspark.sql import functions as F2
+
+    if os.environ.get("SPARK_GRAFT_WARM_SAMPLE"):
+        warm = pages.filter(F2.pmod(F2.xxhash64("url"), F2.lit(10)) == 0)
+    else:
+        warm = pages
+    _force(run_pipeline(spark, warm))
     elapsed = float("inf")
-    for _ in range(2):
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    for _ in range(reps):
         t0 = time.perf_counter()
         _force(run_pipeline(spark, pages))
         elapsed = min(elapsed, time.perf_counter() - t0)
@@ -174,9 +181,12 @@ def scaling_main(sf: float) -> None:
     for cpus in (2, 8, 32):
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cpus)
-        # long enough that per-job fixed costs don't dominate, short
-        # enough that the 2-core leg finishes promptly
-        env.setdefault("SPARK_GRAFT_BENCH_ROWS", "100000")
+        # long enough that the ~6s fixed per-job cost (scheduling,
+        # final-task tail) is amortized — it would otherwise read as
+        # false inefficiency on the fast legs
+        env.setdefault("SPARK_GRAFT_BENCH_ROWS", "300000")
+        env.setdefault("SPARK_GRAFT_BENCH_REPS", "1")
+        env.setdefault("SPARK_GRAFT_WARM_SAMPLE", "1")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only"],
             env=env,

@@ -64,6 +64,10 @@ EPOCH = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
 
 
 def _pick_host(rng: random.Random, lang: str) -> str:
+    # one global mega-host takes ~25% of all traffic (the hot-host skew
+    # stratum that salting / url-hash partitioning must absorb)
+    if rng.random() < 0.25:
+        return "portal.example.com"
     roll = rng.random()
     if roll < 0.45:
         tld = _UNIQUE_TLD[lang]
