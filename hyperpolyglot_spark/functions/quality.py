@@ -97,11 +97,16 @@ def py_signals(text: str, url: str = "") -> dict[str, float]:
     n_chars = len(text)
     n_words = len(words)
     n_sym = len(_SYMBOL_RE.findall(text))
-    grams = [
-        " ".join(words[i : i + 3]) for i in range(max(0, n_words - 2))
-    ]
-    rep3 = 0.0 if not grams else 1.0 - len(set(grams)) / len(grams)
-    n_stop = sum(1 for w in words if w.lower() in ALL_STOPWORDS)
+    # distinct word-triples == distinct "a b c" strings (words contain
+    # no whitespace); tuples avoid n_words string joins
+    n_grams = max(0, n_words - 2)
+    rep3 = (
+        0.0
+        if not n_grams
+        else 1.0 - len(set(zip(words, words[1:], words[2:]))) / n_grams
+    )
+    # C-level loop: identical to sum(1 for w in words if w.lower() in S)
+    n_stop = sum(map(ALL_STOPWORDS.__contains__, map(str.lower, words)))
     return {
         "n_chars": float(n_chars),
         "n_words": float(n_words),
@@ -122,9 +127,12 @@ def _cmp(val: float, op: str, thr: float) -> bool:
     raise ValueError(op)
 
 
-def py_keep_drop(text: str, url: str = "") -> tuple[bool, str | None]:
-    """First-match-wins over RULES; no match -> keep (default rule)."""
-    sig = py_signals(text, url)
+def py_keep_drop(
+    text: str, url: str = "", signals: dict[str, float] | None = None
+) -> tuple[bool, str | None]:
+    """First-match-wins over RULES; no match -> keep (default rule).
+    Pass precomputed ``signals`` to avoid recomputing them."""
+    sig = signals if signals is not None else py_signals(text, url)
     for rule_id, signal, op, thr in RULES:
         if _cmp(sig[signal], op, thr):
             return False, rule_id

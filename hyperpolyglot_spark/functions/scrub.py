@@ -45,11 +45,32 @@ _COMPILED: tuple[tuple[str, re.Pattern[str], str], ...] = tuple(
     for name, pat, rep in SCRUB_PATTERNS
 )
 
+_TOXIC_STEMS = ("frak", "gorram", "smeg", "felder", "drokk")
+
 
 def py_scrub(text: str) -> tuple[str, dict[str, int]]:
-    """Pure-Python spec: sequentially rewrite, count per pattern."""
+    """Pure-Python spec: sequentially rewrite, count per pattern.
+
+    Cheap necessary-condition guards skip regexes that cannot match
+    (exact implications, so skipping never changes the result): email
+    needs '@'; card/ssn/phone/ipv4 need a digit (replacement tokens
+    contain none, so a digit-free text stays digit-free); toxicity
+    needs a lexicon stem (tokens can't splice new stems together since
+    substitution never joins adjacent chars). Guards are C-speed
+    substring scans — most clean documents run zero regexes."""
     counts: dict[str, int] = {}
+    has_digit = any(c.isdigit() for c in text)
     for name, rx, rep in _COMPILED:
+        if name == "email":
+            skip = "@" not in text
+        elif name == "toxicity":
+            low = text.lower()
+            skip = not any(s in low for s in _TOXIC_STEMS)
+        else:
+            skip = not has_digit
+        if skip:
+            counts[name] = 0
+            continue
         text, n = rx.subn(rep, text)
         counts[name] = n
     return text, counts

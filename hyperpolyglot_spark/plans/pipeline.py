@@ -176,14 +176,14 @@ def py_label_page(url: str, html: bytes, model=None) -> dict:
     text = extract_text(html)
     meta = meta_lang_tag(html)
     lang_pred, strategy = detect_lang_py(url, text, meta, model)
-    keep, drop_rule = py_keep_drop(text, url)
+    sig = py_signals(text, url)
+    keep, drop_rule = py_keep_drop(text, url, signals=sig)
     if keep:
         scrubbed, counts = py_scrub(text)
     else:
         # dropped rows are never scrubbed: NULL text, zero counts
         # (matches the Spark batch pass-through convention)
         scrubbed, counts = None, {n: 0 for n in SCRUB_NAMES}
-    sig = py_signals(text, url)
     return {
         "url": url,
         "text": text,
