@@ -368,6 +368,44 @@ def source_langs_csv(spark, sf_dir):
     )
 
 
+def purchases_asof_click(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    prior (or simultaneous) click. Spark has no built-in as-of join —
+    operators/temporal.py composes it from union + window; the oracle
+    is DuckDB's native ASOF JOIN."""
+    from hyperpolyglot_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # unique per (user_id, ts): keep the max event_id (as-of matching
+    # is otherwise ambiguous — same rule in the oracle)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        payload_cols=["click_ts", "click_event_id"],
+        suffix="",
+    ).select("event_id", "user_id", "ts", "click_ts", "click_event_id")
+
+
+def orders_cube(spark, sf_dir):
+    """CUBE over (priority, status): all grouping-set combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
 def events_top_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -630,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "events_sessionization": events_sessionization,
         "events_type_pivot": events_type_pivot,
+        "purchases_asof_click": purchases_asof_click,
+        "orders_cube": orders_cube,
         "events_top_users": events_top_users,
         "lang_breakdown": lang_breakdown,
         "source_lang_matrix": source_lang_matrix,
@@ -822,6 +862,26 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
                    count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
             FROM events GROUP BY user_id
+        """,
+        "purchases_asof_click": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), clicks AS (
+              SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_event_id
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        "orders_cube": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 6) AS avg_price
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         """,
         "events_top_users": """
             SELECT user_id, round(sum(value), 4) AS total_value

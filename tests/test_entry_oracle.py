@@ -41,7 +41,9 @@ def _norm(v):
 
 def _rows_to_multiset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    normed = [tuple(_norm(r[i]) for i in order) for r in rows]
+    # sort by repr so None/mixed-type columns stay comparable
+    return sorted(normed, key=lambda t: tuple(repr(x) for x in t))
 
 
 ORACLES = entry_mod.oracle_sql()
