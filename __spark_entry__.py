@@ -1,14 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes the engine's operator surface (SURVEY.md §2 +
-the training-data-pipeline operators) over the driver testdata tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible query. Column names/types are aligned pairwise (the
+the training-data-pipeline operators) over the driver testdata tables —
+42 queries; ``oracle_sql()`` gives the DuckDB-equivalent SQL for the 39
+SQL-expressible ones. Column names/types are aligned pairwise (the
 driver hashes values under sorted column names).
 
-Queries without an oracle entry (minhash/simhash LSH, NB language
-prediction, IVF ANN) are genuinely non-SQL-expressible ops; the driver
-records the weaker rows-only check for them.
+Queries without an oracle entry (simhash LSH, NB language prediction,
+IVF ANN) are genuinely non-SQL-expressible ops; the driver records the
+weaker rows-only check for them (their accuracy is asserted against
+exact computations in tests/).
 """
 
 from __future__ import annotations
