@@ -695,9 +695,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _WORDS = "list_filter(string_split_regex(text, '[ \\t\\n\\r]+'), x -> x <> '')"
+# word-3-gram shingles, aligned with dedup.word_shingles /
+# _distinct_shingles_col: a doc with 1-2 words emits its whole text as a
+# single shingle (NOT the empty set), an empty doc emits none.
 _GRAMS3 = (
-    "list_distinct([array_to_string(w[i:i+2], ' ') "
-    "for i in range(1, greatest(len(w) - 2, 0) + 1)])"
+    "(CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') "
+    "for i in range(1, len(w) - 1)]) "
+    "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] "
+    "ELSE []::VARCHAR[] END)"
 )
 
 

@@ -88,16 +88,15 @@ def train_py(corpus: list[tuple[str, str]]) -> Model:
 def train_spark(df: DataFrame, lang_col: str = "lang", text_col: str = "text") -> Model:
     """Spark trainer — a pure DataFrame aggregation (codegen.rs:357-428
     analog): explode grams -> two-level hash agg -> log(cnt/total).
-    Gram extraction is a JVM-side transform/sequence, not a UDF."""
+    Gram extraction is a JVM-side transform/sequence, not a UDF.
+
+    Uses the length-gated grams_col: texts shorter than NGRAM chars emit
+    NO grams (Spark's sequence(1, 0) yields a descending [1, 0], which
+    would inject two spurious grams per short doc and break train_py
+    parity)."""
     grams = df.select(
         F.col(lang_col).alias("lang"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(char_length("
-                f"substring(lower({text_col}), 1, {MAX_SCORE_CHARS})) - {NGRAM - 1}, 0)), "
-                f"i -> substring(substring(lower({text_col}), 1, {MAX_SCORE_CHARS}), i, {NGRAM}))"
-            )
-        ).alias("gram"),
+        F.explode(grams_col(F.col(text_col))).alias("gram"),
     )
     counted = grams.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
     from pyspark.sql import Window

@@ -110,10 +110,17 @@ def _empty() -> Column:
     return F.array().cast("array<string>")
 
 
+def _url_rest(url: Column) -> Column:
+    """Everything after an optional ``scheme://`` — mirrors the frozen
+    spec's ``url.split('://', 1)[-1]`` (metadata.url_host), so
+    scheme-less URLs parse identically in the column form."""
+    return F.element_at(F.split(url, "://", 2), -1)
+
+
 def url_hint_col(url: Column) -> Column:
     """Stage 1, JVM-side: first path segment found in the hint map."""
     hint_map = _map_literal(URL_LANG_HINTS)
-    segs = F.slice(F.split(url, "/"), 4, 100)  # after scheme://host
+    segs = F.slice(F.split(_url_rest(url), "/"), 2, 1000)  # after host
     mapped = F.filter(
         F.transform(segs, lambda s: hint_map[F.lower(s)]),
         lambda x: x.isNotNull(),
@@ -125,7 +132,7 @@ def tld_cands_col(url: Column) -> Column:
     """Stage 2, JVM-side longest-known-suffix scan over host labels
     (extensions.rs:24-31 analog)."""
     tld_map = _array_map_literal(TLD_LANGS)
-    host = F.lower(F.get(F.split(url, "/"), 2))
+    host = F.lower(F.get(F.split(_url_rest(url), "/"), 0))
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # suffixes from longest to shortest, excluding the full host;

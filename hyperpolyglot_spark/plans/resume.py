@@ -38,10 +38,13 @@ def bucket_col(url_col: str = "url", n_buckets: int = 32):
 
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    """Probe the manifest through Spark's reader (works on any Hadoop
+    filesystem — HDFS/S3/local — unlike a driver-local os.path check)."""
     path = os.path.join(out_dir, MANIFEST_DIR)
-    if not os.path.exists(path):
+    try:
+        rows = spark.read.parquet(path).select("bucket").distinct().collect()
+    except Exception:  # AnalysisException: path does not exist yet
         return set()
-    rows = spark.read.parquet(path).select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}
 
 
@@ -79,19 +82,40 @@ def run_with_resume(
         labels.write.mode("overwrite").partitionBy("bucket").parquet(
             labels_path
         )
-        # lineage + metrics rows, appended only after the data commit
-        lineage = (
-            spark.read.parquet(labels_path)
-            .filter(F.col("bucket").isin(group))
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("docs"),
-                F.sum(F.col("keep").cast("long")).alias("kept"),
-                F.sum(F.coalesce("scrub_email", F.lit(0))).alias("scrub_email"),
-                F.sum(F.coalesce("scrub_toxicity", F.lit(0))).alias(
-                    "scrub_toxicity"
-                ),
+        # lineage + metrics rows, appended only after the data commit.
+        # Every bucket in the group gets a row — including empty buckets
+        # (which wrote no partition dir): an absent row would keep the
+        # bucket in `todo` forever and the run would never converge.
+        group_df = spark.createDataFrame(
+            [(int(b),) for b in group], "bucket int"
+        )
+        try:
+            agg = (
+                spark.read.parquet(labels_path)
+                .filter(F.col("bucket").isin(group))
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("docs"),
+                    F.sum(F.col("keep").cast("long")).alias("kept"),
+                    F.sum(F.coalesce("scrub_email", F.lit(0))).alias(
+                        "scrub_email"
+                    ),
+                    F.sum(F.coalesce("scrub_toxicity", F.lit(0))).alias(
+                        "scrub_toxicity"
+                    ),
+                )
             )
+            lineage = group_df.join(agg, "bucket", "left")
+        except Exception:  # no labels written at all yet (all-empty group)
+            lineage = group_df.select(
+                "bucket",
+                F.lit(None).cast("long").alias("docs"),
+                F.lit(None).cast("long").alias("kept"),
+                F.lit(None).cast("long").alias("scrub_email"),
+                F.lit(None).cast("long").alias("scrub_toxicity"),
+            )
+        lineage = lineage.na.fill(
+            0, ["docs", "kept", "scrub_email", "scrub_toxicity"]
         )
         lineage.write.mode("append").parquet(manifest_path)
     return len(groups)

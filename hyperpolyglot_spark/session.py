@@ -30,9 +30,16 @@ def get_spark(
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
 
+    builder = SparkSession.builder
+    # Under spark-submit the gateway JVM already exists and carries the
+    # real master (yarn/k8s/standalone) — don't override it with local[N].
+    # PYSPARK_GATEWAY_PORT is set only when spark-submit launched us.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+        )
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

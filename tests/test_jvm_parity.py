@@ -84,3 +84,25 @@ def test_jvm_scrub_udf_matches_spec(extracted, oracle_rows):
         assert r["scrubbed_text"] == scrubbed, r["url"]
         for n in SCRUB_NAMES:
             assert r[f"scrub_{n}"] == counts[n], (r["url"], n)
+
+
+def test_jvm_cascade_schemeless_urls(spark):
+    """Scheme-less URLs must hit the same stage-1/2 hints as the py spec
+    (ADVICE round 1: column form hard-coded the scheme://host shape)."""
+    cases = [
+        ("example.de/news/politik", "hallo welt", None),
+        ("www.example.fr/en/article", "bonjour le monde", None),
+        ("https://example.co.uk/blog/post", "hello there world", None),
+        ("example.com/it/pagina", "testo di prova", "it"),
+        ("host.es", "hola mundo texto", None),
+    ]
+    rows = [
+        {"url": u, "extracted_text": t, "meta_tag": m} for u, t, m in cases
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["url"]: (r["lang_pred"], r["strategy"])
+        for r in with_cascade(df, spark, text_col="extracted_text").collect()
+    }
+    for u, t, m in cases:
+        assert got[u] == detect_lang_py(u, t, m), u

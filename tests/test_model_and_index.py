@@ -68,3 +68,19 @@ def test_ivf_indexed_search_prunes_partitions(spark, tmp_path):
         for r in ivf_topk_indexed(spark, path, q, k=10, n_probe=8).collect()
     }
     assert full == exact
+
+
+def test_train_spark_short_text_parity(spark):
+    """Texts shorter than NGRAM chars contribute ZERO grams in both
+    trainers (ADVICE round 1: sequence(1, 0) descends in Spark and would
+    inject two spurious grams per short doc)."""
+    corpus = [("xx", "ab"), ("xx", "abcd"), ("yy", ""), ("yy", "q"), ("yy", "qrstu")]
+    py_model = train_py(corpus)
+    spark_model = train_spark(
+        spark.createDataFrame(corpus, "lang string, text string")
+    )
+    assert set(spark_model) == set(py_model)
+    for lang in py_model:
+        assert set(spark_model[lang]) == set(py_model[lang]), lang
+        for gram, lp in py_model[lang].items():
+            assert spark_model[lang][gram] == pytest.approx(lp, abs=1e-9)

@@ -66,3 +66,15 @@ def test_resume_after_kill(spark, tmp_path):
     assert len(rows) == N_BUCKETS
     assert all(r["count"] == 1 for r in rows)
     assert manifest.groupBy().sum("docs").collect()[0][0] == N
+
+
+def test_resume_converges_with_empty_buckets(spark, tmp_path):
+    """More buckets than documents: empty buckets must still get a
+    manifest row, or todo never drains (ADVICE round 1)."""
+    out = str(tmp_path / "sparse")
+    pages = _pages(spark).limit(5)
+    n = run_with_resume(spark, pages, out, n_buckets=64, group_size=32)
+    assert n == 2
+    assert len(completed_buckets(spark, out)) == 64
+    # converged: nothing left on rerun
+    assert run_with_resume(spark, pages, out, n_buckets=64) == 0
