@@ -586,6 +586,45 @@ def classifier_training_agg(spark, sf_dir):
     )
 
 
+def doc_perplexity(spark, sf_dir):
+    """KenLM-style perplexity, fully in-query (north-star stage): train
+    a per-language char-3-gram LM with add-alpha smoothing ON the
+    corpus itself (one explode + hash agg), then score every doc under
+    its language's LM via broadcast joins — no cartesian, no UDF, and
+    therefore DuckDB-oracle-able end to end. The production pipeline
+    scores with the same spec under a broadcast pre-trained model
+    (functions/perplexity.py)."""
+    from hyperpolyglot_spark.functions.perplexity import PPL_ALPHA, ppl_grams_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id", "lang", F.explode(ppl_grams_col(F.col("text"))).alias("g")
+    )
+    model = tri.groupBy("lang", "g").agg(F.count("*").alias("c3"))
+    ctx = model.groupBy(
+        "lang", F.substring("g", 1, 2).alias("cx")
+    ).agg(F.sum("c3").alias("c2"))
+    vocab = model.groupBy("lang").agg(
+        F.countDistinct(F.substring("g", 3, 1)).alias("v")
+    )
+    scored = (
+        tri.join(F.broadcast(model), ["lang", "g"])
+        .withColumn("cx", F.substring("g", 1, 2))
+        .join(F.broadcast(ctx), ["lang", "cx"])
+        .join(F.broadcast(vocab), ["lang"])
+        .withColumn(
+            "lp",
+            F.log10(
+                (F.col("c3") + F.lit(PPL_ALPHA))
+                / (F.col("c2") + F.lit(PPL_ALPHA) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.pow(F.lit(10.0), -F.avg("lp")), 6).alias("ppl")
+    )
+
+
 def langid_predict_documents(spark, sf_dir):
     """Naive-Bayes language prediction over documents, model trained on
     the same corpus (train==eval, like the reference). Non-SQL op."""
@@ -686,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_minhash_pairs": neardup_minhash_pairs,
         "neardup_simhash_pairs": neardup_simhash_pairs,
         "classifier_training_agg": classifier_training_agg,
+        "doc_perplexity": doc_perplexity,
         "langid_predict_documents": langid_predict_documents,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
@@ -1025,6 +1065,32 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY cnt DESC, gram) AS rk
                   FROM scored)
             WHERE rk <= 200
+        """,
+        "doc_perplexity": """
+            WITH t AS (
+              SELECT doc_id, lang, substring(lower(text), 1, 2000) AS t
+              FROM documents
+            ), tri AS (
+              SELECT doc_id, lang, substring(t, i, 3) AS g
+              FROM t, LATERAL (SELECT unnest(generate_series(1,
+                       greatest(length(t.t) - 2, 0))) AS i)
+            ), model AS (
+              SELECT lang, g, count(*) AS c3 FROM tri GROUP BY lang, g
+            ), ctx AS (
+              SELECT lang, substring(g, 1, 2) AS cx, sum(c3) AS c2
+              FROM model GROUP BY lang, cx
+            ), vocab AS (
+              SELECT lang, count(DISTINCT substring(g, 3, 1)) AS v
+              FROM model GROUP BY lang
+            )
+            SELECT tri.doc_id,
+                   round(pow(10, -avg(log10((m.c3 + 0.1)
+                                            / (c.c2 + 0.1 * v.v)))), 6) AS ppl
+            FROM tri
+            JOIN model m ON tri.lang = m.lang AND tri.g = m.g
+            JOIN ctx c ON tri.lang = c.lang AND substring(tri.g, 1, 2) = c.cx
+            JOIN vocab v ON tri.lang = v.lang
+            GROUP BY tri.doc_id
         """,
         "embedding_topk": """
             SELECT vec_id,

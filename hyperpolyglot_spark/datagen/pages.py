@@ -108,7 +108,8 @@ def gen_page(row_id: int, seed: int = 42) -> dict:
         else "symbols" if roll < 0.11
         else "repetitive" if roll < 0.16
         else "gibberish" if roll < 0.20
-        else "vendor" if roll < 0.25
+        else "perplexed" if roll < 0.24
+        else "vendor" if roll < 0.29
         else "clean"
     )
 
@@ -132,6 +133,24 @@ def gen_page(row_id: int, seed: int = 42) -> dict:
             f"zx{rng.randrange(10_000)}q{rng.randrange(10_000)}"
             for _ in range(rng.randint(60, 200))
         ]
+    elif stratum == "perplexed":
+        # word salad that defeats every cheap rule (genuine stopwords
+        # keep stop_density high, random words kill rep3) but scores
+        # 20-50+ perplexity under the char-LM — the stratum only the
+        # KenLM-style rule catches
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        stop = STOPWORDS[lang]
+        body_words = []
+        for _ in range(rng.randint(120, 400)):
+            if rng.random() < 0.45:
+                body_words.append(stop[rng.randrange(len(stop))])
+            else:
+                body_words.append(
+                    "".join(
+                        rng.choice(alphabet)
+                        for _ in range(rng.randint(4, 9))
+                    )
+                )
     else:
         body_words = _words(rng, lang, rng.randint(120, 700))
 

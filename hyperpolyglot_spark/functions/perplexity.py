@@ -1,0 +1,217 @@
+"""KenLM-style per-document perplexity under per-language char-n-gram
+LMs (the north-star's "KenLM-style perplexity scores" stage).
+
+Model: per language, an order-3 character LM with add-alpha smoothing —
+the same broadcast-model scoring machinery as the reference's trained
+TOKEN_LOG_PROBABILITIES path (src/detectors/classifier.rs:28-48),
+pointed at a quality signal instead of a label:
+
+    P(c | ctx)   = (cnt3(ctx+c) + ALPHA) / (cnt2(ctx) + ALPHA * V)
+    cnt2(ctx)    = sum_c cnt3(ctx+c)      (derived from the trigram table)
+    V            = |distinct event chars|  (distinct 3rd chars of the
+                                            language's trigram events)
+    logprob10    = sum over trigram events of log10 P
+    perplexity   = 10 ** (-logprob10 / n_events)
+
+Text prep is frozen: lowercase, first PPL_MAX_CHARS chars, events are
+all contiguous 3-char windows (no BOS/EOS padding). A doc with fewer
+than 3 chars has no events -> perplexity None (no rule fires).
+
+Three implementations with identical semantics:
+  - train_ppl_py / perplexity_py: the pure-Python spec (oracle mode,
+    and the per-batch scorer inside the fused label UDF);
+  - train_ppl_spark: DataFrame aggregation trainer (explode trigrams ->
+    hash agg), the A4/codegen-analog offline fit job;
+  - with_perplexity: Arrow-batched scoring of a DataFrame under the
+    broadcast model — one python hop, no shuffle (the 10^12-doc path).
+
+The in-query, fully-SQL-expressible variant (train on the corpus being
+scored, score with built-in joins) lives in __spark_entry__.py's
+``doc_perplexity`` so DuckDB can oracle the whole computation.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PPL_NGRAM = 3
+PPL_ALPHA = 0.1
+PPL_MAX_CHARS = 2000
+
+# lang -> (tri_counts, ctx_counts, vocab_size)
+PplModel = dict[str, tuple[dict[str, int], dict[str, int], int]]
+
+
+def ppl_events(text: str) -> list[str]:
+    """All 3-char windows of the lowercased, capped text."""
+    t = text[:PPL_MAX_CHARS].lower()
+    return [t[i : i + PPL_NGRAM] for i in range(max(0, len(t) - PPL_NGRAM + 1))]
+
+
+def train_ppl_py(corpus: list[tuple[str, str]]) -> PplModel:
+    """(lang, text) rows -> per-language smoothed trigram LM."""
+    model: PplModel = {}
+    for lang in sorted({l for l, _ in corpus}):
+        tri: Counter[str] = Counter()
+        for l, text in corpus:
+            if l == lang:
+                tri.update(ppl_events(text))
+        if not tri:
+            continue  # a lang with zero events has no LM (spec: absent)
+        ctx: Counter[str] = Counter()
+        vocab: set[str] = set()
+        for g, c in tri.items():
+            ctx[g[: PPL_NGRAM - 1]] += c
+            vocab.add(g[PPL_NGRAM - 1])
+        model[lang] = (dict(tri), dict(ctx), len(vocab))
+    return model
+
+
+def logprob10_py(
+    text: str, lang: str, model: PplModel
+) -> tuple[float, int]:
+    """(sum of log10 P over events, n_events); lang absent -> (0, 0)."""
+    m = model.get(lang)
+    if m is None:
+        return 0.0, 0
+    tri, ctx, v = m
+    events = ppl_events(text)
+    lp = 0.0
+    for g in events:
+        c3 = tri.get(g, 0)
+        c2 = ctx.get(g[: PPL_NGRAM - 1], 0)
+        lp += math.log10((c3 + PPL_ALPHA) / (c2 + PPL_ALPHA * v))
+    return lp, len(events)
+
+
+def perplexity_py(text: str, lang: str, model: PplModel) -> float | None:
+    lp, n = logprob10_py(text, lang, model)
+    if n == 0:
+        return None
+    return 10.0 ** (-lp / n)
+
+
+def ppl_grams_col(text: Column | str, n: int = PPL_NGRAM, cap: int = PPL_MAX_CHARS) -> Column:
+    """JVM-side trigram-event array, length-gated (same guard as
+    langid.grams_col: sequence(1, 0) descends, so short texts must emit
+    an EMPTY array, not spurious grams)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.substring(F.lower(c), 1, cap)
+    length = F.length(t)
+    return F.when(
+        length >= n,
+        F.transform(
+            F.sequence(F.lit(1), length - F.lit(n - 1)),
+            lambda i: t.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_ppl_spark(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> PplModel:
+    """DataFrame trainer: explode trigrams -> one partial+final hash
+    agg -> collect the (small) model table driver-side. Parity with
+    train_ppl_py is exact (tests/test_perplexity.py)."""
+    tri_rows = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(ppl_grams_col(F.col(text_col))).alias("g"),
+        )
+        .groupBy("lang", "g")
+        .agg(F.count("*").alias("c3"))
+        .collect()
+    )
+    tri_by_lang: dict[str, dict[str, int]] = {}
+    for r in tri_rows:
+        tri_by_lang.setdefault(r["lang"], {})[r["g"]] = r["c3"]
+    model: PplModel = {}
+    for lang, tri in tri_by_lang.items():
+        ctx: Counter[str] = Counter()
+        vocab: set[str] = set()
+        for g, c in tri.items():
+            ctx[g[: PPL_NGRAM - 1]] += c
+            vocab.add(g[PPL_NGRAM - 1])
+        model[lang] = (tri, dict(ctx), len(vocab))
+    return model
+
+
+def save_ppl_model(spark: SparkSession, model: PplModel, path: str) -> None:
+    """Persist as a (lang, gram, cnt) trigram table — ctx counts and
+    vocab are derived on load, so the stored form is minimal."""
+    rows = [
+        (lang, g, int(c))
+        for lang, (tri, _, _) in sorted(model.items())
+        for g, c in sorted(tri.items())
+    ]
+    spark.createDataFrame(rows, "lang string, gram string, cnt long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_ppl_model(spark: SparkSession, path: str) -> PplModel:
+    tri_by_lang: dict[str, dict[str, int]] = {}
+    for r in spark.read.parquet(path).collect():
+        tri_by_lang.setdefault(r["lang"], {})[r["gram"]] = r["cnt"]
+    model: PplModel = {}
+    for lang, tri in tri_by_lang.items():
+        ctx: Counter[str] = Counter()
+        vocab: set[str] = set()
+        for g, c in tri.items():
+            ctx[g[: PPL_NGRAM - 1]] += c
+            vocab.add(g[PPL_NGRAM - 1])
+        model[lang] = (tri, dict(ctx), len(vocab))
+    return model
+
+
+_DEFAULT_PPL_MODEL: PplModel | None = None
+
+
+def default_ppl_model() -> PplModel:
+    """LM trained on the deterministic training corpus (the same
+    samples/-analog the NB classifier trains on) — built once per
+    process, broadcast at score time."""
+    global _DEFAULT_PPL_MODEL
+    if _DEFAULT_PPL_MODEL is None:
+        from .langid import training_corpus
+
+        _DEFAULT_PPL_MODEL = train_ppl_py(training_corpus())
+    return _DEFAULT_PPL_MODEL
+
+
+def make_perplexity_udf(spark: SparkSession, model: PplModel | None = None):
+    """Arrow-batched (text, lang) -> perplexity under the broadcast
+    model. One python hop, no shuffle — the corpus-scale scorer."""
+    bc = spark.sparkContext.broadcast(model or default_ppl_model())
+
+    @F.pandas_udf(T.DoubleType())
+    def ppl_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        m = bc.value
+        return pd.Series(
+            [
+                perplexity_py(t or "", l, m) if l is not None else None
+                for t, l in zip(texts, langs)
+            ],
+            dtype="float64",
+        )
+
+    return ppl_udf
+
+
+def with_perplexity(
+    df: DataFrame,
+    spark: SparkSession,
+    lang_col: str = "lang_pred",
+    text_col: str = "text",
+    model: PplModel | None = None,
+    out_col: str = "perplexity",
+) -> DataFrame:
+    return df.withColumn(
+        out_col, make_perplexity_udf(spark, model)(F.col(text_col), F.col(lang_col))
+    )

@@ -72,6 +72,10 @@ MAX_CHARS = 40_000
 MAX_SYMBOL_RATIO = 0.30
 MAX_REP3_RATIO = 0.50
 MIN_STOPWORD_DENSITY = 0.05
+# KenLM-style LM threshold: kept fixture prose scores ppl <= ~7 under
+# the per-language char-3-gram LM; scrambled/word-salad text scores
+# 20-50+ (measured, tests/test_perplexity.py pins the separation).
+MAX_PPL = 10.0
 
 # (rule_id, signal, op) — order IS the spec (first match wins).
 RULES: tuple[tuple[str, str, str, float], ...] = (
@@ -82,6 +86,14 @@ RULES: tuple[tuple[str, str, str, float], ...] = (
     ("repetition", "rep3_ratio", ">", MAX_REP3_RATIO),
     ("stopword_density", "stop_density", "<", MIN_STOPWORD_DENSITY),
 )
+
+# The perplexity rule is LAST by design (classifier-dodge economics,
+# X5): the LM scores only docs every cheap rule already passed. It
+# needs lang_pred, so it joins the table where the pipeline has both
+# (plans/pipeline.py, RULES_WITH_PPL); a missing/None signal never
+# fires a rule (a <3-char doc has no LM events).
+PPL_RULE = ("perplexity", "perplexity", ">", MAX_PPL)
+RULES_WITH_PPL: tuple[tuple[str, str, str, float], ...] = RULES + (PPL_RULE,)
 
 
 # ======================================================================
@@ -128,13 +140,19 @@ def _cmp(val: float, op: str, thr: float) -> bool:
 
 
 def py_keep_drop(
-    text: str, url: str = "", signals: dict[str, float] | None = None
+    text: str,
+    url: str = "",
+    signals: dict[str, float] | None = None,
+    rules: tuple[tuple[str, str, str, float], ...] = RULES,
 ) -> tuple[bool, str | None]:
-    """First-match-wins over RULES; no match -> keep (default rule).
-    Pass precomputed ``signals`` to avoid recomputing them."""
+    """First-match-wins over ``rules``; no match -> keep (default rule).
+    Pass precomputed ``signals`` to avoid recomputing them. A signal
+    that is absent or None never fires its rule (SQL-null semantics,
+    same as the column ladder)."""
     sig = signals if signals is not None else py_signals(text, url)
-    for rule_id, signal, op, thr in RULES:
-        if _cmp(sig[signal], op, thr):
+    for rule_id, signal, op, thr in rules:
+        val = sig.get(signal)
+        if val is not None and _cmp(val, op, thr):
             return False, rule_id
     return True, None
 
@@ -215,11 +233,16 @@ def with_quality_signals(
     )
 
 
-def with_keep_drop(df: DataFrame) -> DataFrame:
-    """First-match-wins when/otherwise ladder over RULES -> (keep,
-    drop_rule). Requires signal columns from with_quality_signals."""
+def with_keep_drop(
+    df: DataFrame,
+    rules: tuple[tuple[str, str, str, float], ...] = RULES,
+) -> DataFrame:
+    """First-match-wins when/otherwise ladder over ``rules`` -> (keep,
+    drop_rule). Requires signal columns from with_quality_signals (and
+    a perplexity column, via with_perplexity, when rules includes
+    PPL_RULE — a NULL signal falls through, like the py spec)."""
     expr = F.lit(None).cast("string")
-    for rule_id, signal, op, thr in reversed(RULES):
+    for rule_id, signal, op, thr in reversed(rules):
         col = F.col(signal)
         cond = (
             col < thr if op == "<" else col > thr if op == ">" else col >= thr

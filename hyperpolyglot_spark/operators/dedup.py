@@ -167,15 +167,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def lsh_candidate_pairs(
+def dup_group_members(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, canonical_id, dup_count) per row: which exact-dup group each
+    doc belongs to. Two hash-only shuffles, text never moves."""
+    groups = exact_dedup_groups(df, id_col, text_col)
+    m = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    return m.join(groups, "text_hash").select(
+        id_col, "canonical_id", "dup_count"
+    )
+
+
+def lsh_bucket_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: signature -> band hashes -> bucket
-    self-join. Distinct (id_a, id_b) with id_a < id_b."""
+    """Bucket-size histogram of the banded signature table — the
+    observability hook for the max_bucket cap (run it on the collapsed
+    corpus to see what the cap would skip)."""
+    banded = _banded_minhash(df, id_col, text_col, k, bands)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .orderBy(F.desc("bucket_size"))
+    )
+
+
+def _banded_minhash(
+    df: DataFrame, id_col: str, text_col: str, k: int, bands: int
+) -> DataFrame:
     rows = k // bands
     sig = df.select(
         F.col(id_col), make_minhash_udf(k)(F.col(text_col)).alias("sig")
@@ -200,6 +226,35 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    return banded
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature -> band hashes -> bucket
+    self-join. Distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket`` caps the self-join fan-out: a (band, bucket) with
+    more than max_bucket members is SKIPPED (anti-join against the —
+    tiny — oversized-bucket list, broadcastable). Run AFTER exact-dup
+    pre-collapse, an oversized bucket is a degenerate band (e.g. a
+    template megacluster), the classic O(K^2) web-scale blowup; use
+    lsh_bucket_stats to observe what a cap would drop."""
+    banded = _banded_minhash(df, id_col, text_col, k, bands)
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(oversized, ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -217,6 +272,57 @@ def lsh_candidate_pairs(
     )
 
 
+def _expand_group_pairs(
+    canon_pairs: DataFrame,
+    members: DataFrame,
+    id_col: str,
+    payload_col: str,
+    intra_value,
+    intra_eligible: DataFrame | None = None,
+) -> DataFrame:
+    """Expand canonical-level near-dup pairs back to member-level pairs.
+
+    - cross-group: every (member of A) x (member of B) inherits the
+      canonical pair's payload (jaccard/hamming) — the join is sized by
+      the OUTPUT, never by candidate blowup;
+    - intra-group: all pairs inside one exact-dup group get the literal
+      ``intra_value`` (identical texts), restricted to canonical ids in
+      ``intra_eligible`` when given.
+    """
+    ma = members.select(
+        F.col("canonical_id").alias("ca"), F.col(id_col).alias("ia")
+    )
+    mb = members.select(
+        F.col("canonical_id").alias("cb"), F.col(id_col).alias("ib")
+    )
+    cross = (
+        canon_pairs.withColumnRenamed("id_a", "ca")
+        .withColumnRenamed("id_b", "cb")
+        .join(ma, "ca")
+        .join(mb, "cb")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            payload_col,
+        )
+    )
+    m1 = members.select(
+        "canonical_id", F.col(id_col).alias("ia")
+    )
+    m2 = members.select(
+        "canonical_id", F.col(id_col).alias("ib")
+    )
+    intra = m1.join(m2, "canonical_id").filter(F.col("ia") < F.col("ib"))
+    if intra_eligible is not None:
+        intra = intra.join(intra_eligible, "canonical_id", "left_semi")
+    intra = intra.select(
+        F.col("ia").alias("id_a"),
+        F.col("ib").alias("id_b"),
+        intra_value.alias(payload_col),
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -224,13 +330,24 @@ def minhash_neardup_pairs(
     threshold: float = 0.5,
     k: int = 64,
     bands: int = 16,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
-    """LSH candidates -> exact-jaccard verification. With 16 bands x 4
-    rows, detection probability at j=0.5 is ~64%, at 0.8 is ~99.98%,
-    at 0.95+ is ~1 — candidates are then exactly verified, so output
-    precision is 1.0 and recall follows the LSH S-curve."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands)
-    side = df.select(
+    """Exact-dup pre-collapse -> LSH candidates over DISTINCT texts ->
+    exact-jaccard verification -> expand back to member pairs.
+
+    With 16 bands x 4 rows, detection probability at j=0.5 is ~64%, at
+    0.8 is ~99.98%, at 0.95+ is ~1 — candidates are exactly verified,
+    so output precision is 1.0 and recall follows the LSH S-curve.
+
+    Scale design: a K-sized cluster of identical boilerplate previously
+    emitted O(K^2) candidates PER BAND; after the collapse it is ONE
+    canonical row, its K(K-1)/2 output pairs are emitted directly as
+    jaccard-1.0 literals (output-sized work, no verification), and the
+    max_bucket cap bounds any residual degenerate bucket."""
+    members = dup_group_members(df, id_col, text_col)
+    canon = exact_dedup(df, id_col, text_col)
+    cands = lsh_candidate_pairs(canon, id_col, text_col, k, bands, max_bucket)
+    side = canon.select(
         F.col(id_col), _distinct_shingles_col(F.col(text_col)).alias("grams")
     )
     joined = (
@@ -245,9 +362,22 @@ def minhash_neardup_pairs(
     inter = F.size(F.array_intersect("grams", "grams_b"))
     union = F.size(F.array_union("grams", "grams_b"))
     jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
-    return joined.select(
+    canon_pairs = joined.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+    # identical EMPTY texts have jaccard 0 (no shingles), not 1 — only
+    # groups whose text has at least one shingle expand to intra pairs
+    eligible = side.filter(F.size("grams") > 0).select(
+        F.col(id_col).alias("canonical_id")
+    )
+    return _expand_group_pairs(
+        canon_pairs,
+        members,
+        id_col,
+        "jaccard",
+        F.round(F.lit(1.0), 6).cast("double"),
+        intra_eligible=eligible,
+    )
 
 
 # ----------------------------------------------------------------------
@@ -284,11 +414,18 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on
     four 16-bit bands (a pair within distance 3 shares at least one
-    exact band — pigeonhole), verified with bit_count."""
-    sigs = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim"))
+    exact band — pigeonhole), verified with bit_count.
+
+    Same scale shape as minhash_neardup_pairs: exact-dup pre-collapse
+    (identical texts = hamming 0, emitted directly), banded self-join
+    over DISTINCT texts only, oversized chunks capped."""
+    members = dup_group_members(df, id_col, text_col)
+    canon = exact_dedup(df, id_col, text_col)
+    sigs = canon.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim"))
     banded = sigs.select(
         id_col,
         "sim",
@@ -306,6 +443,14 @@ def simhash_neardup_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sim", "bb.band", "bb.chunk")
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("band", "chunk")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("band", "chunk")
+        )
+        banded = banded.join(oversized, ["band", "chunk"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -323,4 +468,11 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    canon_pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return _expand_group_pairs(
+        canon_pairs,
+        members,
+        id_col,
+        "hamming",
+        F.lit(0).cast("int"),
+    )

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.extract import extract_text, meta_lang_tag
-from ..functions.quality import py_keep_drop, py_signals
+from ..functions.perplexity import default_ppl_model, perplexity_py
+from ..functions.quality import MAX_PPL, py_keep_drop, py_signals
 from ..functions.scrub import SCRUB_NAMES, py_scrub
 from ..operators.cascade import detect_lang_py
 
@@ -82,11 +83,12 @@ _LABEL_SCHEMA = T.StructType(
         T.StructField("symbol_ratio", T.DoubleType()),
         T.StructField("rep3_ratio", T.DoubleType()),
         T.StructField("stop_density", T.DoubleType()),
+        T.StructField("perplexity", T.DoubleType()),
     ]
 )
 
 
-def make_label_udf(spark: SparkSession, model=None):
+def make_label_udf(spark: SparkSession, model=None, ppl_model=None):
     """ONE Arrow-batched UDF for ALL text-bound per-document work:
     html decode + extraction + the 5-stage cascade (broadcast model) +
     quality signals + first-match-wins keep/drop + scrub of kept rows —
@@ -112,14 +114,16 @@ def make_label_udf(spark: SparkSession, model=None):
     from ..functions.langid import default_model
 
     bc = spark.sparkContext.broadcast(model or default_model())
+    bc_ppl = spark.sparkContext.broadcast(ppl_model or default_ppl_model())
 
     @F.pandas_udf(_LABEL_SCHEMA)
     def label_udf(urls: pd.Series, html: pd.Series) -> pd.DataFrame:
         m = bc.value
+        mp = bc_ppl.value
         out = {f.name: [] for f in _LABEL_SCHEMA.fields}
         for url, h in zip(urls, html):
             b = bytes(h) if h is not None else b""
-            row = py_label_page(url or "", b, m)
+            row = py_label_page(url or "", b, m, mp)
             for k, v in row.items():
                 if k != "url":
                     out[k].append(v)
@@ -128,12 +132,14 @@ def make_label_udf(spark: SparkSession, model=None):
     return label_udf
 
 
-def run_pipeline(spark: SparkSession, pages: DataFrame, model=None) -> DataFrame:
+def run_pipeline(
+    spark: SparkSession, pages: DataFrame, model=None, ppl_model=None
+) -> DataFrame:
     """pages -> labels. scan -> one Arrow stage -> project; narrow
     end-to-end (no shuffle until the metrics aggregation); the scan is
     column-pruned to (url, warc_ts, html)."""
     df = pages.select("url", "warc_ts", "html")
-    lbl = make_label_udf(spark, model)(F.col("url"), F.col("html"))
+    lbl = make_label_udf(spark, model, ppl_model)(F.col("url"), F.col("html"))
     df = df.withColumn("_l", lbl)
     cols = [F.col(f"_l.{f.name}").alias(f.name) for f in _LABEL_SCHEMA.fields]
     return df.select("url", "warc_ts", *cols)
@@ -170,14 +176,23 @@ def breakdown(labels: DataFrame) -> DataFrame:
 # frozen single-node oracle (reference labels)
 # ----------------------------------------------------------------------
 
-def py_label_page(url: str, html: bytes, model=None) -> dict:
+def py_label_page(url: str, html: bytes, model=None, ppl_model=None) -> dict:
     """Pure-Python per-document spec: the 'reference pipeline' whose
-    labels the Spark job must match (SURVEY.md §7.1.1)."""
+    labels the Spark job must match (SURVEY.md §7.1.1).
+
+    Perplexity economics (X5): the LM scores a doc only if every cheap
+    rule passed — dropped docs carry perplexity=None, and the ppl rule
+    (quality.PPL_RULE) is the LAST rule by design."""
     text = extract_text(html)
     meta = meta_lang_tag(html)
     lang_pred, strategy = detect_lang_py(url, text, meta, model)
     sig = py_signals(text, url)
     keep, drop_rule = py_keep_drop(text, url, signals=sig)
+    ppl = None
+    if keep:
+        ppl = perplexity_py(text, lang_pred, ppl_model or default_ppl_model())
+        if ppl is not None and ppl > MAX_PPL:
+            keep, drop_rule = False, "perplexity"
     if keep:
         scrubbed, counts = py_scrub(text)
     else:
@@ -198,4 +213,5 @@ def py_label_page(url: str, html: bytes, model=None) -> dict:
         "symbol_ratio": sig["symbol_ratio"],
         "rep3_ratio": sig["rep3_ratio"],
         "stop_density": sig["stop_density"],
+        "perplexity": ppl,
     }

@@ -116,6 +116,67 @@ def test_minhash_lsh_finds_exact_pairs(spark, docs):
     assert cands < 500 * 499 / 2 / 10  # candidates ≪ all-pairs
 
 
+def test_lsh_megacluster_stays_linear(spark, docs):
+    """A K-sized identical-boilerplate cluster must NOT emit O(K^2) LSH
+    candidates (the 100TB blowup): exact-dup pre-collapse reduces it to
+    one canonical row, and the K(K-1)/2 output pairs are emitted as
+    jaccard-1.0 literals without verification."""
+    K = 1000
+    boiler = spark.range(100_000, 100_000 + K).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the same boilerplate text repeated on every page of this site "
+            * 5
+        ).alias("text"),
+    )
+    base = docs.limit(20).select("doc_id", "text")
+    dup = base.union(boiler)
+
+    # candidate pairs are generated over DISTINCT texts only: 21 rows
+    canon = exact_dedup(dup)
+    assert canon.count() == 21
+    assert lsh_candidate_pairs(canon).count() <= 21 * 20 / 2
+
+    pairs = minhash_neardup_pairs(dup, threshold=0.5)
+    intra = pairs.filter(
+        (F.col("id_a") >= 100_000) & (F.col("jaccard") == 1.0)
+    ).count()
+    assert intra == K * (K - 1) // 2
+
+    # simhash: same collapse (all K rows share one signature)
+    sh = simhash_neardup_pairs(dup, max_hamming=3)
+    sh_intra = sh.filter(
+        (F.col("id_a") >= 100_000) & (F.col("hamming") == 0)
+    ).count()
+    assert sh_intra == K * (K - 1) // 2
+
+
+def test_lsh_bucket_cap_skips_oversized(spark, docs):
+    """max_bucket=0 marks every bucket oversized -> zero candidates
+    (the skip path); the stats helper reports the bucket histogram."""
+    from hyperpolyglot_spark.operators.dedup import lsh_bucket_stats
+
+    base = docs.limit(30).select("doc_id", "text")
+    assert lsh_candidate_pairs(base, max_bucket=0).count() == 0
+    stats = lsh_bucket_stats(base).collect()
+    assert sum(r["n_buckets"] for r in stats) > 0
+
+
+def test_identical_empty_texts_are_not_jaccard_neardups(spark):
+    """Identical EMPTY texts share an exact-dup group but have jaccard
+    0 (no shingles) — the intra-group expansion must skip them, like
+    the all-pairs oracle does."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "same words here"), (4, "same words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_neardup_pairs(df, threshold=0.5).collect()
+    }
+    assert got == {(3, 4): 1.0}
+
+
 # --- simhash ------------------------------------------------------------
 def test_simhash_deterministic_and_near(spark):
     a = "the quick brown fox jumps over the lazy dog " * 10
