@@ -586,6 +586,30 @@ def classifier_training_agg(spark, sf_dir):
     )
 
 
+def hashed_gram_buckets(spark, sf_dir):
+    """Hashed character-n-gram features (north-star): gram -> md5-prefix
+    bucket (JVM built-ins only), per-(lang, bucket) counts + log-probs —
+    the fixed-width fastText-style feature table whose size is bounded
+    by bucket count, not vocabulary. The production classifier scores
+    against exactly this table (functions/langid.py HashedModel)."""
+    from hyperpolyglot_spark.functions.langid import bucket_col, grams_col
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = (
+        docs.select("lang", F.explode(grams_col(F.col("text"))).alias("gram"))
+        .select("lang", bucket_col(F.col("gram")).alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wl = Window.partitionBy("lang")
+    return counted.select(
+        "lang",
+        F.col("bucket").cast("long").alias("bucket"),
+        "cnt",
+        F.round(F.log(F.col("cnt") / F.sum("cnt").over(wl)), 6).alias("logp"),
+    )
+
+
 def doc_perplexity(spark, sf_dir):
     """KenLM-style perplexity, fully in-query (north-star stage): train
     a per-language char-3-gram LM with add-alpha smoothing ON the
@@ -726,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_simhash_pairs": neardup_simhash_pairs,
         "classifier_training_agg": classifier_training_agg,
         "doc_perplexity": doc_perplexity,
+        "hashed_gram_buckets": hashed_gram_buckets,
         "langid_predict_documents": langid_predict_documents,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
@@ -735,6 +760,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _WORDS = "list_filter(string_split_regex(text, '[ \\t\\n\\r]+'), x -> x <> '')"
+
+
+def _lang_info_values() -> str:
+    from hyperpolyglot_spark.functions.langdata import LANG_INFO
+
+    return ", ".join(
+        f"('{l}','{i['family']}','{i['script']}')"
+        for l, i in sorted(LANG_INFO.items())
+    )
+
+
+_LANG_INFO_VALUES = _lang_info_values()
 # word-3-gram shingles, aligned with dedup.word_shingles /
 # _distinct_shingles_col: a doc with 1-2 words emits its whole text as a
 # single shingle (NOT the empty set), an empty doc emits none.
@@ -972,18 +1009,11 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_numbers
             FROM documents
         """,
-        "family_breakdown": """
+        "family_breakdown": f"""
             SELECT family, count(*) AS docs,
                    count(DISTINCT d.lang) AS n_langs
             FROM documents d
-            LEFT JOIN (VALUES ('en','germanic','latin'),
-                              ('de','germanic','latin'),
-                              ('nl','germanic','latin'),
-                              ('fr','romance','latin'),
-                              ('es','romance','latin'),
-                              ('it','romance','latin'),
-                              ('pt','romance','latin'),
-                              ('zh','sinitic','han'))
+            LEFT JOIN (VALUES {_LANG_INFO_VALUES})
                    AS li(lang, family, script) ON d.lang = li.lang
             WHERE script = 'latin'
             GROUP BY family
@@ -1065,6 +1095,25 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY cnt DESC, gram) AS rk
                   FROM scored)
             WHERE rk <= 200
+        """,
+        "hashed_gram_buckets": """
+            WITH grams AS (
+              SELECT lang, substring(t, i, 3) AS gram
+              FROM (SELECT lang, substring(lower(text), 1, 2000) AS t
+                    FROM documents) d,
+                   LATERAL (SELECT unnest(generate_series(1,
+                            greatest(length(d.t) - 2, 0))) AS i)
+            ), counted AS (
+              SELECT lang,
+                     (('0x' || substr(md5(gram), 1, 15))::UBIGINT
+                      % 4096)::BIGINT AS bucket,
+                     count(*) AS cnt
+              FROM grams GROUP BY 1, 2
+            )
+            SELECT lang, bucket, cnt,
+                   round(ln(cnt::DOUBLE
+                            / sum(cnt) OVER (PARTITION BY lang)), 6) AS logp
+            FROM counted
         """,
         "doc_perplexity": """
             WITH t AS (

@@ -30,10 +30,17 @@ from ..functions.langdata import LANGUAGES, STOPWORDS, WORDS
 # TLDs, ambiguous multi-candidate TLDs, and neutral gTLDs. Host index is
 # Zipf-skewed within each group — site0.* are hot hosts (skew stratum).
 _UNIQUE_TLD = {"en": "uk", "de": "de", "fr": "fr", "it": "it",
-               "nl": "nl", "zh": "cn", "es": "es", "pt": "pt"}
-_AMBIG_TLD = {"en": ("ca",), "de": ("ch", "nl", "at"), "fr": ("ch", "be", "ca"),
+               "nl": "nl", "zh": "cn", "es": "es", "pt": "pt",
+               "sv": "se", "da": "dk", "fi": "fi", "pl": "pl",
+               "cs": "cz", "ro": "ro", "hu": "hu", "tr": "tr",
+               "ru": "ru", "el": "gr", "ja": "jp", "ko": "kr",
+               "ar": "sa", "hi": "in", "id": "id", "vi": "vn"}
+_AMBIG_TLD = {"en": ("ca", "in"), "de": ("ch", "nl", "at"),
+              "fr": ("ch", "be", "ca"),
               "it": ("ch",), "nl": ("be",), "zh": ("tw",),
-              "es": ("es", "br"), "pt": ("pt", "br")}
+              "es": ("es", "br", "ar", "mx"), "pt": ("pt", "br"),
+              "sv": ("fi",), "fi": ("fi",), "ru": ("ua",),
+              "ar": ("ae", "eg"), "hi": ("in",), "cs": ("sk",)}
 _NEUTRAL_TLD = ("com", "org", "net", "io")
 _N_HOSTS = 16
 _ZIPF_WEIGHTS = [1.0 / (i + 1) ** 1.2 for i in range(_N_HOSTS)]
@@ -45,7 +52,10 @@ for _w in _ZIPF_WEIGHTS:
     _ZIPF_CDF.append(_acc)
 
 _SLOPPY_TAGS = {"es": "iberian", "pt": "iberian", "de": "germanic",
-                "nl": "germanic", "fr": "romance", "it": "romance"}
+                "nl": "germanic", "fr": "romance", "it": "romance",
+                "sv": "scandinavian", "da": "scandinavian",
+                "ru": "slavic", "pl": "slavic", "cs": "slavic",
+                "zh": "cjk", "ja": "cjk", "ko": "cjk"}
 
 _PII_SNIPPETS = (
     "contact me at alice.smith@example.org for details",
@@ -69,10 +79,10 @@ def _pick_host(rng: random.Random, lang: str) -> str:
     if rng.random() < 0.25:
         return "portal.example.com"
     roll = rng.random()
-    if roll < 0.45:
+    opts = _AMBIG_TLD.get(lang, ())
+    if roll < 0.45 or (roll < 0.65 and not opts):
         tld = _UNIQUE_TLD[lang]
     elif roll < 0.65:
-        opts = _AMBIG_TLD[lang]
         tld = opts[rng.randrange(len(opts))]
     else:
         tld = _NEUTRAL_TLD[rng.randrange(len(_NEUTRAL_TLD))]
@@ -116,7 +126,11 @@ def gen_page(row_id: int, seed: int = 42) -> dict:
     # url ------------------------------------------------------------
     segs = []
     if stratum == "vendor":
-        segs.append(rng.choice(["ads", "tracking", "wp-admin", "cdn-cgi"]))
+        segs.append(rng.choice([
+            "ads", "tracking", "wp-admin", "cdn-cgi",
+            "wp-content/plugins", "googletagmanager", "phpmyadmin",
+            "node_modules", "privacy-policy", "checkout",
+        ]))
     if rng.random() < 0.30:  # lang-hint segment (stage-1 fixture)
         segs.append(rng.choice([lang, f"{lang}-{lang}"]))
     segs.append(f"page-{row_id}")
@@ -203,11 +217,24 @@ def gen_page(row_id: int, seed: int = 42) -> dict:
     }
 
 
+# en-heavy mix with a long tail, like the web (normalized at import)
+_LANG_WEIGHTS = {
+    "en": 28, "de": 7, "fr": 6, "es": 7, "it": 4, "pt": 4, "nl": 3,
+    "zh": 5, "sv": 2, "da": 2, "fi": 2, "pl": 3, "cs": 2, "ro": 2,
+    "hu": 2, "tr": 3, "ru": 5, "el": 2, "ja": 4, "ko": 3, "ar": 3,
+    "hi": 3, "id": 3, "vi": 2,
+}
+_LANG_CDF = []
+_wacc = 0.0
+_wtotal = float(sum(_LANG_WEIGHTS[l] for l in LANGUAGES))
+for _l in LANGUAGES:
+    _wacc += _LANG_WEIGHTS[_l] / _wtotal
+    _LANG_CDF.append(_wacc)
+
+
 def _weighted_lang(rng: random.Random) -> int:
-    # en-heavy mix, like the web
     r = rng.random()
-    cum = (0.35, 0.47, 0.58, 0.68, 0.76, 0.84, 0.91, 1.0)
-    for i, c in enumerate(cum):
+    for i, c in enumerate(_LANG_CDF):
         if r <= c:
             return i
     return len(LANGUAGES) - 1

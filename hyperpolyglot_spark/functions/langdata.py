@@ -26,7 +26,14 @@ Roles mirrored from the reference (SURVEY.md §1.1):
 from __future__ import annotations
 
 # --- the closed language universe ------------------------------------
-LANGUAGES: tuple[str, ...] = ("en", "de", "fr", "es", "it", "pt", "nl", "zh")
+# 24 languages across 10 scripts — the languages.yml-breadth analog
+# (reference ships 553 languages; the ENGINE here is shape-complete for
+# any count, the dim tables carry a representative two-dozen).
+LANGUAGES: tuple[str, ...] = (
+    "en", "de", "fr", "es", "it", "pt", "nl", "zh",
+    "sv", "da", "fi", "pl", "cs", "ro", "hu", "tr",
+    "ru", "el", "ja", "ko", "ar", "hi", "id", "vi",
+)
 
 # Common words per language (function words first = stopwords).
 # These drive BOTH the synthetic corpus generator and classifier
@@ -49,6 +56,41 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
            "zijn", "met", "voor", "niet", "aan", "er", "ook", "maar"),
     "zh": ("的", "是", "了", "在", "和", "有", "我", "他", "这", "就",
            "不", "人", "都", "一", "也", "很", "到", "说"),
+    "sv": ("och", "att", "det", "som", "en", "på", "är", "av", "för",
+           "med", "den", "till", "inte", "om", "han", "de", "ett", "var"),
+    "da": ("og", "i", "at", "det", "en", "den", "til", "er", "som", "på",
+           "de", "med", "han", "af", "for", "ikke", "der", "et"),
+    "fi": ("ja", "on", "ei", "se", "että", "hän", "oli", "mutta", "kun",
+           "niin", "kuin", "myös", "jo", "vain", "sen", "joka", "mitä", "tai"),
+    "pl": ("i", "w", "nie", "na", "się", "że", "z", "do", "to", "jest",
+           "jak", "po", "co", "tak", "za", "od", "ale", "przez"),
+    "cs": ("a", "se", "v", "na", "je", "že", "s", "z", "do", "to",
+           "jako", "o", "ale", "i", "za", "k", "po", "protože"),
+    "ro": ("și", "de", "la", "a", "în", "cu", "o", "pe", "este", "un",
+           "care", "nu", "se", "mai", "din", "să", "ce", "pentru"),
+    "hu": ("a", "az", "és", "hogy", "nem", "is", "egy", "ez", "de",
+           "van", "meg", "volt", "ha", "el", "mint", "már", "csak", "mi"),
+    "tr": ("ve", "bir", "bu", "da", "ne", "için", "ile", "o", "en",
+           "gibi", "ama", "daha", "çok", "var", "olarak", "kadar",
+           "sonra", "çünkü"),
+    "ru": ("и", "в", "не", "на", "я", "что", "он", "с", "как", "это",
+           "а", "по", "но", "из", "у", "за", "то", "же"),
+    "el": ("και", "να", "το", "η", "ο", "που", "δεν", "με", "από",
+           "για", "είναι", "τα", "σε", "την", "τον", "θα", "ένα", "μια"),
+    "ja": ("の", "に", "は", "を", "た", "が", "で", "て", "と", "し",
+           "れ", "さ", "ある", "いる", "も", "する", "です", "ます"),
+    "ko": ("이", "그", "저", "것", "수", "들", "및", "에서", "의", "를",
+           "은", "는", "가", "와", "과", "도", "로", "한"),
+    "ar": ("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "التي",
+           "الذي", "كان", "ما", "لا", "هو", "هي", "قد", "كل", "أو"),
+    "hi": ("के", "का", "एक", "में", "की", "है", "यह", "और", "से",
+           "हैं", "को", "पर", "इस", "होता", "कि", "जो", "ने", "था"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "juga", "saya", "ke",
+           "karena", "ada", "mereka"),
+    "vi": ("của", "và", "là", "có", "trong", "được", "cho", "không",
+           "người", "với", "này", "đã", "các", "một", "những", "để",
+           "khi", "tại"),
 }
 
 CONTENT_WORDS: dict[str, tuple[str, ...]] = {
@@ -84,6 +126,75 @@ CONTENT_WORDS: dict[str, tuple[str, ...]] = {
            "科学", "市场", "孩子", "音乐", "语言", "之间", "因为", "通过",
            "国家", "问题", "回答", "早上", "网络", "村庄", "天气", "山",
            "图书馆"),
+    "sv": ("hus", "vatten", "värld", "människor", "tid", "regering",
+           "stad", "historia", "vetenskap", "marknad", "barn", "musik",
+           "språk", "mellan", "eftersom", "genom", "land", "fråga",
+           "svar", "morgon", "nätverk", "by", "väder", "berg", "bibliotek"),
+    "da": ("hus", "vand", "verden", "mennesker", "tid", "regering", "by",
+           "historie", "videnskab", "marked", "børn", "musik", "sprog",
+           "mellem", "fordi", "gennem", "land", "spørgsmål", "svar",
+           "morgen", "netværk", "landsby", "vejr", "bjerg", "bibliotek"),
+    "fi": ("talo", "vesi", "maailma", "ihmiset", "aika", "hallitus",
+           "kaupunki", "historia", "tiede", "markkinat", "lapset",
+           "musiikki", "kieli", "välillä", "koska", "kautta", "maa",
+           "kysymys", "vastaus", "aamu", "verkosto", "kylä", "sää",
+           "vuori", "kirjasto"),
+    "pl": ("dom", "woda", "świat", "ludzie", "czas", "rząd", "miasto",
+           "historia", "nauka", "rynek", "dzieci", "muzyka", "język",
+           "między", "ponieważ", "kraj", "pytanie", "odpowiedź", "rano",
+           "sieć", "wieś", "pogoda", "góra", "biblioteka", "dzień"),
+    "cs": ("dům", "voda", "svět", "lidé", "čas", "vláda", "město",
+           "historie", "věda", "trh", "děti", "hudba", "jazyk", "mezi",
+           "přes", "země", "otázka", "odpověď", "ráno", "síť",
+           "vesnice", "počasí", "hora", "knihovna", "den"),
+    "ro": ("casă", "apă", "lume", "oameni", "timp", "guvern", "oraș",
+           "istorie", "știință", "piață", "copii", "muzică", "limbă",
+           "între", "deoarece", "prin", "țară", "întrebare", "răspuns",
+           "dimineață", "rețea", "sat", "vreme", "munte", "bibliotecă"),
+    "hu": ("ház", "víz", "világ", "emberek", "idő", "kormány", "város",
+           "történelem", "tudomány", "piac", "gyerekek", "zene",
+           "nyelv", "között", "mert", "keresztül", "ország", "kérdés",
+           "válasz", "reggel", "hálózat", "falu", "időjárás", "hegy",
+           "könyvtár"),
+    "tr": ("ev", "su", "dünya", "insanlar", "zaman", "hükümet", "şehir",
+           "tarih", "bilim", "pazar", "çocuklar", "müzik", "dil",
+           "arasında", "boyunca", "ülke", "soru", "cevap", "sabah",
+           "ağ", "köy", "hava", "dağ", "kütüphane", "gün"),
+    "ru": ("дом", "вода", "мир", "люди", "время", "правительство",
+           "город", "история", "наука", "рынок", "дети", "музыка",
+           "язык", "между", "потому", "через", "страна", "вопрос",
+           "ответ", "утро", "сеть", "деревня", "погода", "гора",
+           "библиотека"),
+    "el": ("σπίτι", "νερό", "κόσμος", "άνθρωποι", "χρόνος", "κυβέρνηση",
+           "πόλη", "ιστορία", "επιστήμη", "αγορά", "παιδιά", "μουσική",
+           "γλώσσα", "μεταξύ", "επειδή", "μέσω", "χώρα", "ερώτηση",
+           "απάντηση", "πρωί", "δίκτυο", "χωριό", "καιρός", "βουνό",
+           "βιβλιοθήκη"),
+    "ja": ("家", "水", "世界", "人々", "時間", "政府", "都市", "歴史",
+           "科学", "市場", "子供", "音楽", "言語", "間", "理由", "国",
+           "質問", "答え", "朝", "ネットワーク", "村", "天気", "山",
+           "図書館", "今日"),
+    "ko": ("집", "물", "세계", "사람들", "시간", "정부", "도시", "역사",
+           "과학", "시장", "아이들", "음악", "언어", "사이", "때문에",
+           "통해", "나라", "질문", "대답", "아침", "네트워크", "마을",
+           "날씨", "산", "도서관"),
+    "ar": ("بيت", "ماء", "عالم", "ناس", "وقت", "حكومة", "مدينة",
+           "تاريخ", "علم", "سوق", "أطفال", "موسيقى", "لغة", "بين",
+           "لأن", "عبر", "بلد", "سؤال", "جواب", "صباح", "شبكة",
+           "قرية", "طقس", "جبل", "مكتبة"),
+    "hi": ("घर", "पानी", "दुनिया", "लोग", "समय", "सरकार", "शहर",
+           "इतिहास", "विज्ञान", "बाजार", "बच्चे", "संगीत", "भाषा",
+           "बीच", "क्योंकि", "द्वारा", "देश", "प्रश्न", "उत्तर",
+           "सुबह", "नेटवर्क", "गांव", "मौसम", "पहाड़", "पुस्तकालय"),
+    "id": ("rumah", "air", "dunia", "orang", "waktu", "pemerintah",
+           "kota", "sejarah", "ilmu", "pasar", "anak", "musik",
+           "bahasa", "antara", "sebab", "melalui", "negara",
+           "pertanyaan", "jawaban", "pagi", "jaringan", "desa",
+           "cuaca", "gunung", "perpustakaan"),
+    "vi": ("nhà", "nước", "giới", "thời", "gian", "chính", "phủ",
+           "thành", "phố", "lịch", "sử", "khoa", "học", "chợ", "trẻ",
+           "nhạc", "ngôn", "ngữ", "giữa", "quốc", "gia", "câu", "hỏi",
+           "sáng", "núi"),
 }
 
 WORDS: dict[str, tuple[str, ...]] = {
@@ -100,6 +211,22 @@ URL_LANG_HINTS: dict[str, str] = {
     "pt": "pt", "pt-br": "pt", "portugues": "pt",
     "nl": "nl", "nl-nl": "nl", "nederlands": "nl",
     "zh": "zh", "zh-cn": "zh", "zhongwen": "zh",
+    "sv": "sv", "sv-se": "sv", "svenska": "sv",
+    "da": "da", "da-dk": "da", "dansk": "da",
+    "fi": "fi", "fi-fi": "fi", "suomi": "fi",
+    "pl": "pl", "pl-pl": "pl", "polski": "pl",
+    "cs": "cs", "cs-cz": "cs", "cesky": "cs",
+    "ro": "ro", "ro-ro": "ro", "romana": "ro",
+    "hu": "hu", "hu-hu": "hu", "magyar": "hu",
+    "tr": "tr", "tr-tr": "tr", "turkce": "tr",
+    "ru": "ru", "ru-ru": "ru", "russian": "ru",
+    "el": "el", "el-gr": "el", "greek": "el",
+    "ja": "ja", "ja-jp": "ja", "japanese": "ja",
+    "ko": "ko", "ko-kr": "ko", "korean": "ko",
+    "ar": "ar", "ar-sa": "ar", "arabic": "ar",
+    "hi": "hi", "hi-in": "hi", "hindi": "hi",
+    "id": "id", "id-id": "id", "indonesian": "id",
+    "vi": "vi", "vi-vn": "vi", "vietnamese": "vi",
 }
 
 # --- stage-2 dim: host TLD -> candidate languages (EXTENSIONS analog,
@@ -121,6 +248,28 @@ TLD_LANGS: dict[str, tuple[str, ...]] = {
     "ch": ("de", "fr", "it"),  # multi-candidate, needs later stages
     "be": ("nl", "fr"),
     "ca": ("en", "fr"),
+    "se": ("sv",),
+    "dk": ("da",),
+    "fi": ("fi", "sv"),        # bilingual ccTLD -> rule-engine context
+    "pl": ("pl",),
+    "cz": ("cs",),
+    "sk": ("cs",),             # sloppy: sk content often labeled cs here
+    "ro": ("ro",),
+    "hu": ("hu",),
+    "tr": ("tr",),
+    "ru": ("ru",),
+    "ua": ("ru",),
+    "gr": ("el",),
+    "jp": ("ja",),
+    "kr": ("ko",),
+    "sa": ("ar",),
+    "ae": ("ar",),
+    "eg": ("ar",),
+    "in": ("hi", "en"),        # bilingual ccTLD -> rule-engine context
+    "id": ("id",),
+    "vn": ("vi",),
+    "mx": ("es",),
+    "ar": ("es",),             # Argentina ccTLD, Spanish content
     # com/org/net/io absent -> no candidates, like an unknown extension
 }
 
@@ -135,10 +284,29 @@ META_LANG_CANDS: dict[str, tuple[str, ...]] = {
     "pt": ("pt",), "pt-br": ("pt",),
     "nl": ("nl",),
     "zh": ("zh",), "zh-cn": ("zh",), "zh-tw": ("zh",),
+    "sv": ("sv",), "sv-se": ("sv",),
+    "da": ("da",), "da-dk": ("da",),
+    "fi": ("fi",), "fi-fi": ("fi",),
+    "pl": ("pl",), "pl-pl": ("pl",),
+    "cs": ("cs",), "cs-cz": ("cs",),
+    "ro": ("ro",), "ro-ro": ("ro",),
+    "hu": ("hu",), "hu-hu": ("hu",),
+    "tr": ("tr",), "tr-tr": ("tr",),
+    "ru": ("ru",), "ru-ru": ("ru",),
+    "el": ("el",), "el-gr": ("el",),
+    "ja": ("ja",), "ja-jp": ("ja",),
+    "ko": ("ko",), "ko-kr": ("ko",),
+    "ar": ("ar",), "ar-sa": ("ar",),
+    "hi": ("hi",), "hi-in": ("hi",),
+    "id": ("id",), "id-id": ("id",),
+    "vi": ("vi",), "vi-vn": ("vi",),
     # sloppy CMS tags observed in the wild -> ambiguous candidate sets
     "iberian": ("es", "pt"),
     "germanic": ("de", "nl"),
     "romance": ("fr", "es", "it", "pt"),
+    "scandinavian": ("sv", "da"),
+    "slavic": ("ru", "pl", "cs"),
+    "cjk": ("zh", "ja", "ko"),
 }
 
 # --- stage-4 dim: disambiguation marker regexes (DISAMBIGUATIONS
@@ -154,6 +322,22 @@ MARKER_RULES: dict[str, str] = {
     "pt": r"(?:^|\s)(?:não|uma|através)(?:\s|$)",
     "nl": r"(?:^|\s)(?:het|zijn|omdat)(?:\s|$)",
     "zh": r"[的是了]",
+    "sv": r"(?:^|\s)(?:och|är|eftersom)(?:\s|$)",
+    "da": r"(?:^|\s)(?:og|af|ikke)(?:\s|$)",
+    "fi": r"(?:^|\s)(?:että|myös|koska)(?:\s|$)",
+    "pl": r"(?:^|\s)(?:się|jest|przez)(?:\s|$)",
+    "cs": r"(?:^|\s)(?:že|protože|mezi)(?:\s|$)",
+    "ro": r"(?:^|\s)(?:și|pentru|este)(?:\s|$)",
+    "hu": r"(?:^|\s)(?:hogy|és|mert)(?:\s|$)",
+    "tr": r"(?:^|\s)(?:ve|için|çünkü)(?:\s|$)",
+    "ru": r"(?:^|\s)(?:что|это|потому)(?:\s|$)",
+    "el": r"(?:^|\s)(?:και|είναι|επειδή)(?:\s|$)",
+    "ja": r"[のはを]",
+    "ko": r"[의를은]",
+    "ar": r"(?:^|\s)(?:في|من|على)(?:\s|$)",
+    "hi": r"(?:^|\s)(?:के|में|है)(?:\s|$)",
+    "id": r"(?:^|\s)(?:yang|dan|tidak)(?:\s|$)",
+    "vi": r"(?:^|\s)(?:của|và|không)(?:\s|$)",
 }
 
 # Union stopword set used by the quality rules (stopword-density check
@@ -173,4 +357,20 @@ LANG_INFO: dict[str, dict[str, str]] = {
     "it": {"family": "romance", "script": "latin"},
     "pt": {"family": "romance", "script": "latin"},
     "zh": {"family": "sinitic", "script": "han"},
+    "sv": {"family": "germanic", "script": "latin"},
+    "da": {"family": "germanic", "script": "latin"},
+    "fi": {"family": "uralic", "script": "latin"},
+    "pl": {"family": "slavic", "script": "latin"},
+    "cs": {"family": "slavic", "script": "latin"},
+    "ro": {"family": "romance", "script": "latin"},
+    "hu": {"family": "uralic", "script": "latin"},
+    "tr": {"family": "turkic", "script": "latin"},
+    "ru": {"family": "slavic", "script": "cyrillic"},
+    "el": {"family": "hellenic", "script": "greek"},
+    "ja": {"family": "japonic", "script": "kanji_kana"},
+    "ko": {"family": "koreanic", "script": "hangul"},
+    "ar": {"family": "semitic", "script": "arabic"},
+    "hi": {"family": "indic", "script": "devanagari"},
+    "id": {"family": "austronesian", "script": "latin"},
+    "vi": {"family": "austroasiatic", "script": "latin"},
 }

@@ -29,6 +29,7 @@ import math
 import random
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -171,15 +172,33 @@ def classify_py(
     return best_lang
 
 
-def make_classify_udf(spark: SparkSession, model: Model | None = None):
+def classify_any(
+    text: str, candidates: list[str] | None, model=None
+) -> str:
+    """Dispatch on model representation: None -> the default HASHED
+    model (the production scorer — bounded broadcast size); dict-of-
+    dicts -> the explicit-vocabulary NB scorer; HashedModel -> hashed.
+    Identical candidate/tie-break semantics either way."""
+    if model is None:
+        return classify_hashed_py(text, candidates, default_hashed_model())
+    first = next(iter(model.values()), None)
+    if isinstance(first, dict):
+        return classify_py(text, candidates, model)
+    return classify_hashed_py(text, candidates, model)
+
+
+def make_classify_udf(spark: SparkSession, model=None):
     """Arrow-batched pandas UDF (text, candidates) -> lang.
 
-    The model ships to executors via sc.broadcast — one copy per worker,
-    the broadcast-variable analog of the reference's compiled-in map.
-    Rows whose candidate list is already a singleton are passed through
-    without scoring (early-exit X1 inside the batch).
+    The model (hashed by default) ships to executors via sc.broadcast —
+    one copy per worker, the broadcast-variable analog of the
+    reference's compiled-in map. Rows whose candidate list is already a
+    singleton are passed through without scoring (early-exit X1 inside
+    the batch).
     """
-    bc = spark.sparkContext.broadcast(model or default_model())
+    bc = spark.sparkContext.broadcast(
+        model if model is not None else default_hashed_model()
+    )
 
     @F.pandas_udf(T.StringType())
     def classify_udf(texts: pd.Series, cands: pd.Series) -> pd.Series:
@@ -190,7 +209,7 @@ def make_classify_udf(spark: SparkSession, model: Model | None = None):
             if len(cand_list) == 1:
                 out.append(cand_list[0])
             else:
-                out.append(classify_py(text or "", cand_list, m))
+                out.append(classify_any(text or "", cand_list, m))
         return pd.Series(out)
 
     return classify_udf
@@ -208,3 +227,133 @@ def grams_col(text: Column | str, n: int = NGRAM, cap: int = MAX_SCORE_CHARS) ->
             lambda i: t.substr(i, F.lit(n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# ----------------------------------------------------------------------
+# hashed n-gram features (the north-star's "hashed character-n-gram
+# features"): the fastText hashing trick. The model is a FIXED-WIDTH
+# (n_langs x HASH_BUCKETS) log-prob matrix — broadcast size is bounded
+# by bucket count, not vocabulary, so it stays O(MB) at 100+ languages.
+# ----------------------------------------------------------------------
+
+HASH_BUCKETS = 4096
+
+# lang -> float64[HASH_BUCKETS] of logp (DEFAULT_LOG_PROB where empty)
+HashedModel = dict[str, np.ndarray]
+
+
+def gram_bucket(gram: str, buckets: int = HASH_BUCKETS) -> int:
+    """Deterministic gram -> bucket: first 15 hex digits of md5, mod B.
+    Chosen because BOTH sides can compute it exactly — Python hashlib
+    here, and `conv(substring(md5(g),1,15),16,10) % B` in Spark SQL /
+    DuckDB (the oracle path). Never builtin hash() (salted)."""
+    import hashlib
+
+    return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16) % buckets
+
+
+def bucket_col(gram: Column, buckets: int = HASH_BUCKETS) -> Column:
+    """JVM-side gram_bucket: same md5-prefix arithmetic, built-ins only."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        % F.lit(buckets)
+    ).cast("int")
+
+
+def train_hashed_py(
+    corpus: list[tuple[str, str]], buckets: int = HASH_BUCKETS
+) -> HashedModel:
+    """lang -> logp vector over hashed buckets. Collisions merge counts
+    (the standard hashing-trick tradeoff); empty buckets score
+    DEFAULT_LOG_PROB, exactly like a missing gram in the dict model."""
+    model: HashedModel = {}
+    for lang in sorted({l for l, _ in corpus}):
+        counts = np.zeros(buckets, dtype=np.float64)
+        total = 0
+        for l, text in corpus:
+            if l == lang:
+                for g in text_grams(text):
+                    counts[gram_bucket(g, buckets)] += 1
+                    total += 1
+        vec = np.full(buckets, DEFAULT_LOG_PROB, dtype=np.float64)
+        if total:
+            nz = counts > 0
+            vec[nz] = np.log(counts[nz] / total)
+        model[lang] = vec
+    return model
+
+
+def train_hashed_spark(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    buckets: int = HASH_BUCKETS,
+) -> HashedModel:
+    """Spark trainer: explode grams -> md5 bucket (JVM-side) -> one
+    hash agg -> collect the (lang, bucket, cnt) table into vectors.
+    Exact parity with train_hashed_py (tests/test_hashed_langid.py)."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(grams_col(F.col(text_col))).alias("gram"),
+    )
+    counted = (
+        grams.select("lang", bucket_col(F.col("gram"), buckets).alias("b"))
+        .groupBy("lang", "b")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in counted:
+        by_lang.setdefault(r["lang"], []).append((r["b"], r["cnt"]))
+    model: HashedModel = {}
+    for lang, pairs in by_lang.items():
+        counts = np.zeros(buckets, dtype=np.float64)
+        for b, c in pairs:
+            counts[b] = c
+        total = counts.sum()
+        vec = np.full(buckets, DEFAULT_LOG_PROB, dtype=np.float64)
+        nz = counts > 0
+        vec[nz] = np.log(counts[nz] / total)
+        model[lang] = vec
+    return model
+
+
+_DEFAULT_HASHED_MODEL: HashedModel | None = None
+
+
+def default_hashed_model() -> HashedModel:
+    global _DEFAULT_HASHED_MODEL
+    if _DEFAULT_HASHED_MODEL is None:
+        _DEFAULT_HASHED_MODEL = train_hashed_py(training_corpus())
+    return _DEFAULT_HASHED_MODEL
+
+
+def classify_hashed_py(
+    text: str, candidates: list[str] | None, model: HashedModel | None = None
+) -> str:
+    """classify_py semantics over hashed features: same candidate
+    handling, same stable earlier-candidate tie-break, scores from the
+    bucket vectors (numpy gather + dot, vectorized per doc)."""
+    model = model if model is not None else default_hashed_model()
+    cands = list(candidates) if candidates else list(LANGUAGES)
+    gram_counts = Counter(text_grams(text))
+    if gram_counts:
+        idx = np.array(
+            [gram_bucket(g) for g in gram_counts], dtype=np.int64
+        )
+        cnts = np.array(list(gram_counts.values()), dtype=np.float64)
+    else:
+        idx, cnts = None, None
+    best_lang, best_score = cands[0], float("-inf")
+    first = True
+    for lang in cands:
+        vec = model.get(lang)
+        if vec is None:
+            score = float("-inf")
+        elif idx is None:
+            score = 0.0
+        else:
+            score = float(vec[idx] @ cnts)
+        if first or score > best_score:
+            best_lang, best_score, first = lang, score, False
+    return best_lang

@@ -25,10 +25,23 @@ from pyspark.sql import functions as F
 
 from .langdata import ALL_STOPWORDS
 
-# Chars that count as "symbols": not alnum, not whitespace, not Latin
-# letters with diacritics, not CJK. Same class compiles under Python re
-# and Java regex (explicit ranges, no \w).
-_SYMBOL_CLASS = r"[^A-Za-z0-9\sÀ-ɏ一-鿿]"
+# Chars that count as "symbols": not alnum, not whitespace, and not a
+# letter of any script in the 24-language universe. Same class compiles
+# under Python re and Java regex (explicit literal ranges, no \w).
+_SYMBOL_CLASS = (
+    "[^A-Za-z0-9\\s"
+    "À-ɏ"  # latin-1 supplement + extended A/B (diacritics)
+    "Ͱ-Ͽ"  # greek
+    "Ѐ-ӿ"  # cyrillic
+    "֐-׿"  # hebrew
+    "؀-ۿ"  # arabic
+    "ऀ-ॿ"  # devanagari
+    "Ḁ-ỿ"  # latin extended additional (vietnamese)
+    "぀-ヿ"  # hiragana + katakana
+    "一-鿿"  # cjk unified ideographs
+    "가-힯"  # hangul syllables
+    "]"
+)
 _SYMBOL_RE = re.compile(_SYMBOL_CLASS)
 _WS_SPLIT_RE = re.compile(r"[ \t\n\r\f\x0b]+")
 
@@ -40,26 +53,61 @@ _WS_SPLIT_RE = re.compile(r"[ \t\n\r\f\x0b]+")
 # admin/infra paths, and boilerplate/legal sections (the doc-filter
 # analog).
 _VENDOR_PATH_DIRS = (
-    "ads?", "adserver", "tracking", "trackers?", "analytics", "pixel",
+    # ad/tracking infrastructure
+    "ads?", "adserver", "adsense", "advert(?:s|ising)?", "banners?",
+    "tracking", "trackers?", "analytics", "pixel", "beacons?",
+    "doubleclick", "googletagmanager", "googleads", "adsbygoogle",
+    "outbrain", "taboola", "criteo", "quantcast", "scorecardresearch",
+    "chartbeat", "hotjar", "mouseflow", "crazyegg", "piwik", "matomo",
+    "statcounter", "metrika",
+    # CMS internals / admin
     "cdn-cgi", "wp-admin", "wp-includes", "wp-json", "xmlrpc",
+    "wp-content/plugins", "wp-content/themes", "wp-content/cache",
+    "typo3temp", "typo3conf", "bitrix", "administrator", "phpmyadmin",
+    "umbraco", "sites/all/modules", "sites/default/files/js",
+    "misc/jquery", "modules/contrib", "media/system", "media/jui",
+    "skin/frontend", "js/mage", "pub/static", "static/version[0-9]*",
+    # vendored assets
     "assets/vendor", "static/vendor", "node_modules", "bower_components",
     "third[_-]party", "vendor/bundles?", "dist/min", "min/js", "min/css",
     "cgi-bin", "__media__", "plesk-stat", "webstat", "awstats",
 )
+_TRACKING_PARAMS = (
+    "utm_[a-z]+", "gclid", "fbclid", "mc_eid", "ref_src", "igshid",
+    "msclkid", "dclid", "twclid", "yclid", "wbraid", "gbraid",
+    "_hsenc", "_hsmi", "mkt_tok", "vero_id", "s_kwcid", "ncid",
+)
 _BOILERPLATE_SECTIONS = (
     "privacy-policy", "privacy_policy", "terms-of-service", "terms-of-use",
-    "cookie-policy", "cookie-notice", "legal-notice", "impressum",
-    "disclaimer", "unsubscribe", "login", "signin", "signup", "register",
-    "cart", "checkout", "wishlist", "account/settings", "sitemap\\.xml",
-    "robots\\.txt", "favicon\\.ico", "feed\\.xml", "rss\\.xml",
+    "terms-and-conditions", "cookie-policy", "cookie-notice",
+    "legal-notice", "impressum", "disclaimer", "unsubscribe",
+    "login", "signin", "signup", "register", "password-reset",
+    "forgot-password", "my-account", "account/settings", "order-history",
+    "track-order", "cart", "checkout", "wishlist",
+    "refund-policy", "return-policy", "shipping-policy",
+    "accessibility-statement", "gdpr", "newsletter-signup",
+    "print-preview", "under-construction", "coming-soon",
+    "sitemap\\.xml", "robots\\.txt", "favicon\\.ico", "feed\\.xml",
+    "rss\\.xml", "atom\\.xml", "opensearch\\.xml", "ads\\.txt",
+    "humans\\.txt", "browserconfig\\.xml", "manifest\\.webmanifest",
 )
 _BOILERPLATE_FILES = (
     r"[^/]*\.min\.(?:js|css)", r"jquery[^/]*\.js", r"bootstrap[^/]*\.(?:js|css)",
     r"modernizr[^/]*\.js", r"gtag\.js", r"fbevents\.js", r"ga\.js",
+    r"analytics\.js", r"piwik\.js", r"matomo\.js", r"hotjar[^/]*\.js",
+    r"adsbygoogle\.js", r"beacon(?:\.min)?\.js", r"clarity\.js",
+    r"plausible\.js", r"angular[^/]*\.js", r"react(?:-dom)?[^/]*\.js",
+    r"vue[^/]*\.js", r"ember[^/]*\.js", r"backbone[^/]*\.js",
+    r"underscore[^/]*\.js", r"lodash[^/]*\.js", r"prototype\.js",
+    r"mootools[^/]*\.js", r"swfobject\.js", r"require[^/]*\.js",
+    r"polyfill[^/]*\.js", r"webfont[^/]*\.js",
 )
+# ~120 vendor/boilerplate patterns (the vendor.rs:3-364 breadth analog)
+# compiled into ONE alternation so the filter is a single pushed-down
+# rlike predicate.
 VENDOR_URL_RE = (
     "(?:/(?:" + "|".join(_VENDOR_PATH_DIRS) + ")/"
-    "|[?&](?:utm_[a-z]+|gclid|fbclid|mc_eid|ref_src)="
+    "|[?&](?:" + "|".join(_TRACKING_PARAMS) + ")="
     "|/(?:" + "|".join(_BOILERPLATE_SECTIONS) + ")(?:/|$)"
     "|/(?:" + "|".join(_BOILERPLATE_FILES) + ")(?:$|[?#])"
     ")"

@@ -115,4 +115,49 @@ DISAMBIGUATION_RULES: dict[str, list[Rule]] = {
                           Positive(r"(?:^|\s)een(?:\s|$)")))),
         Rule(("fr",), Positive(r"(?:^|\s)(?:les|dans)(?:\s|$)")),
     ],
+    # sloppy 'scandinavian' meta tag
+    "scandinavian": [
+        Rule(("da",), And((Positive(r"(?:^|\s)(?:og|af)(?:\s|$)"),
+                           Negative(r"(?:^|\s)och(?:\s|$)")))),
+        Rule(("sv",), Positive(r"(?:^|\s)(?:och|är|eftersom)(?:\s|$)")),
+        Rule(("sv", "da")),  # default: stay ambiguous
+    ],
+    # .fi TLD (bilingual: Finnish/Swedish)
+    "finnic": [
+        Rule(("fi",), Positive(r"(?:^|\s)(?:että|myös|koska|on)(?:\s|$)")),
+        Rule(("sv",), Positive(r"(?:^|\s)(?:och|är)(?:\s|$)")),
+        Rule(("fi", "sv")),
+    ],
+    # .in TLD (Hindi/English)
+    "india": [
+        Rule(("hi",), Positive(r"[ऀ-ॿ]")),  # any devanagari char
+        Rule(("en",), Positive(r"(?:^|\s)(?:the|with|they)(?:\s|$)")),
+        Rule(("hi", "en")),
+    ],
+    # sloppy 'cjk' meta tag: script ranges disambiguate
+    "cjk": [
+        Rule(("ja",), Positive(r"[぀-ヿ]")),  # kana decides japanese
+        Rule(("ko",), Positive(r"[가-힯]")),  # hangul decides korean
+        Rule(("zh",), Positive(r"[的是了]")),
+        Rule(("zh", "ja", "ko")),
+    ],
 }
+
+# Dispatch: exact candidate-set -> rule table. The cascade consults the
+# table for a known context and falls back to the per-language marker
+# filter otherwise (operators/cascade.py). Keying on the EXACT set
+# makes rule eligibility static (every rule's languages are within its
+# context — asserted below), so the column form is a pure when-ladder.
+RULE_CONTEXTS: dict[frozenset[str], str] = {
+    frozenset(("es", "pt")): "iberian",
+    frozenset(("de", "fr", "it")): "swiss",
+    frozenset(("nl", "fr")): "benelux",
+    frozenset(("sv", "da")): "scandinavian",
+    frozenset(("fi", "sv")): "finnic",
+    frozenset(("hi", "en")): "india",
+    frozenset(("zh", "ja", "ko")): "cjk",
+}
+
+for _fs, _key in RULE_CONTEXTS.items():
+    for _rule in DISAMBIGUATION_RULES[_key]:
+        assert set(_rule.languages) <= _fs, (_key, _rule.languages)

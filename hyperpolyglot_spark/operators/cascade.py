@@ -34,15 +34,36 @@ from ..functions.langdata import (
     TLD_LANGS,
     URL_LANG_HINTS,
 )
-from ..functions.langid import classify_py, default_model, make_classify_udf
+from ..functions.langid import classify_any, make_classify_udf
 from ..functions.metadata import (
     filter_candidates,
     meta_lang_candidates,
     tld_candidates,
     url_hint_lang,
 )
+from ..functions.rules import (
+    And,
+    DISAMBIGUATION_RULES,
+    Negative,
+    Or,
+    Positive,
+    RULE_CONTEXTS,
+    apply_rules,
+)
 
 _MARKERS_COMPILED = {l: re.compile(p) for l, p in MARKER_RULES.items()}
+
+
+def heuristic_matches_py(cands: list[str], text: str) -> list[str]:
+    """Stage 4 spec: a known candidate-set context dispatches to its
+    ORDERED combinator rule table (heuristics.rs:21-72 semantics via
+    rules.apply_rules — first eligible matching rule wins, pattern-less
+    default matches unconditionally); unknown contexts fall back to the
+    one-marker-per-language filter (the single-Positive special case)."""
+    key = RULE_CONTEXTS.get(frozenset(cands))
+    if key is not None:
+        return apply_rules(DISAMBIGUATION_RULES[key], cands, text)
+    return [l for l in cands if _MARKERS_COMPILED[l].search(text)]
 
 
 # ======================================================================
@@ -66,12 +87,12 @@ def detect_lang_py(
         return cands[0], "meta"
 
     if len(cands) > 1:
-        matched = [l for l in cands if _MARKERS_COMPILED[l].search(text)]
+        matched = heuristic_matches_py(cands, text)
         cands = filter_candidates(cands, matched)
     if len(cands) == 1:
         return cands[0], "heuristics"
 
-    return classify_py(text, cands, model or default_model()), "classifier"
+    return classify_any(text, cands, model), "classifier"
 
 
 # ======================================================================
@@ -166,11 +187,41 @@ def meta_cands_col(tag: Column) -> Column:
     return F.when(tag.isNull(), _empty()).otherwise(F.coalesce(looked, _empty()))
 
 
+def _pattern_col(p, text: Column) -> Column:
+    """Compile a rules.Pattern combinator tree to a boolean Column:
+    Positive -> rlike, Negative -> ~rlike, And/Or -> &/|. The (?m)
+    prefix mirrors the spec's re.MULTILINE compile (Java defaults ^/$
+    to whole-input; Python's flag makes them per-line)."""
+    if isinstance(p, Positive):
+        return text.rlike("(?m)" + p.pattern)
+    if isinstance(p, Negative):
+        return ~text.rlike("(?m)" + p.pattern)
+    if isinstance(p, And):
+        expr = F.lit(True)
+        for q in p.patterns:
+            expr = expr & _pattern_col(q, text)
+        return expr
+    if isinstance(p, Or):
+        expr = F.lit(False)
+        for q in p.patterns:
+            expr = expr | _pattern_col(q, text)
+        return expr
+    raise TypeError(type(p))
+
+
 def heuristic_matches_col(text: Column, cands: Column) -> Column:
-    """Stage 4, JVM-side: languages among the candidates whose marker
-    regex matches the text (DISAMBIGUATIONS analog):
-    filter(cands, l -> CASE l WHEN 'en' THEN text rlike .. END) —
-    rlike per language, compiled once by Janino, whole-stage codegen."""
+    """Stage 4, JVM-side — heuristic_matches_py as column expressions:
+
+    - known candidate-set contexts (RULE_CONTEXTS, matched on the
+      sorted joined set) evaluate their ordered rule table as a
+      when/otherwise ladder — first matching rule's languages win, a
+      pattern-less default matches unconditionally. Eligibility is
+      static because every rule's languages lie within its context
+      (asserted at import), so no per-row set algebra is needed.
+    - unknown contexts fall back to the per-language marker filter:
+      filter(cands, l -> CASE l WHEN 'en' THEN text rlike .. END).
+    Everything is rlike/boolean logic, compiled once by Janino —
+    whole-stage codegen, no Python."""
 
     def match_one(l: Column) -> Column:
         expr = F.lit(False)
@@ -178,7 +229,23 @@ def heuristic_matches_col(text: Column, cands: Column) -> Column:
             expr = F.when(l == lang, text.rlike(pattern)).otherwise(expr)
         return expr
 
-    return F.filter(cands, match_one)
+    expr = F.filter(cands, match_one)
+    key_col = F.array_join(F.array_sort(cands), ",")
+    for fs, key in sorted(RULE_CONTEXTS.items(), key=lambda kv: kv[1]):
+        ladder = _empty()
+        for rule in reversed(DISAMBIGUATION_RULES[key]):
+            cond = (
+                F.lit(True)
+                if rule.pattern is None
+                else _pattern_col(rule.pattern, text)
+            )
+            ladder = F.when(
+                cond, F.array(*[F.lit(l) for l in rule.languages])
+            ).otherwise(ladder)
+        expr = F.when(
+            key_col == ",".join(sorted(fs)), ladder
+        ).otherwise(expr)
+    return expr
 
 
 def with_cascade(

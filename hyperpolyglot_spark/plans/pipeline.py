@@ -111,9 +111,11 @@ def make_label_udf(spark: SparkSession, model=None, ppl_model=None):
     The column-expression operators (operators/cascade.py,
     functions/quality.py, functions/scrub.py) remain parity-tested and
     drive the oracle queries — same frozen spec, different plan shape."""
-    from ..functions.langid import default_model
+    from ..functions.langid import default_hashed_model
 
-    bc = spark.sparkContext.broadcast(model or default_model())
+    bc = spark.sparkContext.broadcast(
+        model if model is not None else default_hashed_model()
+    )
     bc_ppl = spark.sparkContext.broadcast(ppl_model or default_ppl_model())
 
     @F.pandas_udf(_LABEL_SCHEMA)

@@ -106,3 +106,71 @@ def test_jvm_cascade_schemeless_urls(spark):
     }
     for u, t, m in cases:
         assert got[u] == detect_lang_py(u, t, m), u
+
+
+def test_rule_engine_contexts_in_cascade(spark):
+    """The ordered combinator rule tables now drive stage 4: exact
+    candidate-set contexts dispatch to And/Or/Negative rule ladders in
+    BOTH the py spec and the column form (parity), and the fixture
+    corpus exercises them (strategy == 'heuristics')."""
+    cases = [
+        # .ch -> {de,fr,it}: swiss table; de rule is And(+und, -het)
+        ("https://site1.example.ch/p1", "alles und nichts hier", None, "de"),
+        # de rule blocked by Negative(het) -> fr rule fires
+        ("https://site1.example.ch/p2", "und het les amis dans", None, "fr"),
+        # .fi -> {fi,sv}: fi word wins
+        ("https://site1.example.fi/p3", "se on hyvä että tulit", None, "fi"),
+        # .fi with swedish text -> sv
+        ("https://site1.example.fi/p4", "det är bra och fint", None, "sv"),
+        # .in -> {hi,en}: devanagari script rule
+        ("https://site1.example.in/p5", "यह है एक परीक्षण", None, "hi"),
+        ("https://site1.example.in/p6", "the test with words", None, "en"),
+        # meta 'cjk' + neutral tld: kana -> ja, hangul -> ko, else zh
+        ("https://site1.example.com/p7", "これ は てすと です", "cjk", "ja"),
+        ("https://site1.example.com/p8", "이 것 은 테스트", "cjk", "ko"),
+        ("https://site1.example.com/p9", "这 是 的 测试", "cjk", "zh"),
+        # meta 'scandinavian': da And(+og/af, -och)
+        ("https://site1.example.com/p10", "det er og af huset", "scandinavian", "da"),
+        ("https://site1.example.com/p11", "det och är huset", "scandinavian", "sv"),
+    ]
+    rows = [
+        {"url": u, "extracted_text": t, "meta_tag": m}
+        for u, t, m, _ in cases
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["url"]: (r["lang_pred"], r["strategy"])
+        for r in with_cascade(df, spark, text_col="extracted_text").collect()
+    }
+    for u, t, m, want_lang in cases:
+        spec = detect_lang_py(u, t, m)
+        assert got[u] == spec, (u, got[u], spec)
+        assert got[u][0] == want_lang, (u, got[u], want_lang)
+        assert got[u][1] == "heuristics", (u, got[u])
+
+
+def test_fixture_corpus_exercises_rule_contexts(spark):
+    """At 24 languages the generated corpus must hit the heuristics
+    stage through at least one combinator context."""
+    from hyperpolyglot_spark.functions.rules import RULE_CONTEXTS
+    from hyperpolyglot_spark.functions.metadata import (
+        meta_lang_candidates,
+        tld_candidates,
+        url_hint_lang,
+        filter_candidates,
+    )
+    from hyperpolyglot_spark.functions.extract import extract_text, meta_lang_tag
+
+    hit = 0
+    for i in range(400):
+        r = gen_page(i)
+        if url_hint_lang(r["url"]) is not None:
+            continue
+        cands = tld_candidates(r["url"])
+        if len(cands) == 1:
+            continue
+        meta = meta_lang_tag(r["html"])
+        cands = filter_candidates(cands, meta_lang_candidates(meta))
+        if frozenset(cands) in RULE_CONTEXTS:
+            hit += 1
+    assert hit >= 5, hit
