@@ -1,15 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes the engine's operator surface (SURVEY.md §2 +
-the training-data-pipeline operators) over the driver testdata tables —
-42 queries; ``oracle_sql()`` gives the DuckDB-equivalent SQL for the 39
-SQL-expressible ones. Column names/types are aligned pairwise (the
-driver hashes values under sorted column names).
+the training-data-pipeline operators) over the driver testdata tables;
+``oracle_sql()`` gives a DuckDB oracle for EVERY query. Column
+names/types are aligned pairwise (the driver hashes values under
+sorted column names).
 
-Queries without an oracle entry (simhash LSH, NB language prediction,
-IVF ANN) are genuinely non-SQL-expressible ops; the driver records the
-weaker rows-only check for them (their accuracy is asserted against
-exact computations in tests/).
+For the three queries whose semantics DuckDB cannot compute (blake2b
+simhash LSH, NB language prediction, IVF ANN probe) the oracle reads a
+FROZEN expected table computed driver-side from the pure-Python specs
+— independently of the Spark implementations — and cross-checked at
+generation time (tools/gen_expected.py, data/expected_sf0.01/).
 """
 
 from __future__ import annotations
@@ -586,6 +587,43 @@ def classifier_training_agg(spark, sf_dir):
     )
 
 
+def per_strategy_report(spark, sf_dir):
+    """Per-strategy CLI report analog (src/bin/main.rs:159-199): a
+    regex section filter picks the docs, each doc is attributed to the
+    detection strategy that decides it (marker-rule hit vs classifier
+    fallback — the SQL-expressible slice of the cascade), and each
+    (strategy, language) section reports its count plus a stable sorted
+    sample of ids (the file-list analog). Both the Spark ladder and the
+    DuckDB CASE are generated from the same MARKER_RULES dim."""
+    from hyperpolyglot_spark.functions.langdata import MARKER_RULES
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(r"(^| )(market|value)( |$)")
+    )
+    marker = F.lit(False)
+    for lang, pat in MARKER_RULES.items():
+        marker = F.when(
+            F.col("lang") == lang, F.col("text").rlike(pat)
+        ).otherwise(marker)
+    strategy = F.when(marker, F.lit("heuristics")).otherwise(
+        F.lit("classifier")
+    )
+    return (
+        docs.withColumn("strategy", strategy)
+        .groupBy("strategy", "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("sample_ids"),
+        )
+    )
+
+
 def hashed_gram_buckets(spark, sf_dir):
     """Hashed character-n-gram features (north-star): gram -> md5-prefix
     bucket (JVM built-ins only), per-(lang, bucket) counts + log-probs —
@@ -751,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_training_agg": classifier_training_agg,
         "doc_perplexity": doc_perplexity,
         "hashed_gram_buckets": hashed_gram_buckets,
+        "per_strategy_report": per_strategy_report,
         "langid_predict_documents": langid_predict_documents,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
@@ -772,6 +811,16 @@ def _lang_info_values() -> str:
 
 
 _LANG_INFO_VALUES = _lang_info_values()
+
+
+def _marker_case_sql() -> str:
+    from hyperpolyglot_spark.functions.langdata import MARKER_RULES
+
+    whens = " ".join(
+        f"WHEN '{lang}' THEN regexp_matches(text, '{pat}')"
+        for lang, pat in MARKER_RULES.items()
+    )
+    return f"(CASE lang {whens} ELSE false END)"
 # word-3-gram shingles, aligned with dedup.word_shingles /
 # _distinct_shingles_col: a doc with 1-2 words emits its whole text as a
 # single shingle (NOT the empty set), an empty doc emits none.
@@ -1096,6 +1145,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rk <= 200
         """,
+        "per_strategy_report": f"""
+            SELECT strategy, lang, count(*) AS docs,
+                   array_to_string(list_sort(list(doc_id))[1:5], ',')
+                     AS sample_ids
+            FROM (
+              SELECT doc_id, lang,
+                     CASE WHEN {_marker_case_sql()}
+                          THEN 'heuristics' ELSE 'classifier' END AS strategy
+              FROM documents
+              WHERE regexp_matches(text, '(^| )(market|value)( |$)'))
+            GROUP BY strategy, lang
+        """,
         "hashed_gram_buckets": """
             WITH grams AS (
               SELECT lang, substring(t, i, 3) AS gram
@@ -1157,6 +1218,23 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) > 0.45
+        """,
+        # --- frozen-expected oracles (tools/gen_expected.py): the three
+        # non-SQL-expressible queries (blake2b simhash, NB classify, IVF
+        # probe). Expected tables are computed from the pure-Python
+        # specs INDEPENDENTLY of Spark, cross-checked at generation
+        # time, and frozen at sf0.01 (the driver's correctness scale).
+        "neardup_simhash_pairs": """
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('/root/repo/data/expected_sf0.01/neardup_simhash_pairs.parquet')
+        """,
+        "langid_predict_documents": """
+            SELECT doc_id, lang, lang_pred
+            FROM read_parquet('/root/repo/data/expected_sf0.01/langid_predict_documents.parquet')
+        """,
+        "embedding_ann_ivf": """
+            SELECT vec_id, round(cosine_raw, 6) AS cosine
+            FROM read_parquet('/root/repo/data/expected_sf0.01/embedding_ann_ivf.parquet')
         """,
         "embedding_label_centroids": """
             SELECT label, count(*) AS n,
