@@ -242,11 +242,30 @@ HASH_BUCKETS = 4096
 HashedModel = dict[str, np.ndarray]
 
 
+_BUCKET_CACHE: dict[str, int] = {}
+
+
 def gram_bucket(gram: str, buckets: int = HASH_BUCKETS) -> int:
     """Deterministic gram -> bucket: first 15 hex digits of md5, mod B.
     Chosen because BOTH sides can compute it exactly — Python hashlib
     here, and `conv(substring(md5(g),1,15),16,10) % B` in Spark SQL /
-    DuckDB (the oracle path). Never builtin hash() (salted)."""
+    DuckDB (the oracle path). Never builtin hash() (salted).
+
+    Grams repeat massively across documents, so default-width lookups
+    are memoized (bounded cache, md5 skipped on the hot path)."""
+    if buckets == HASH_BUCKETS:
+        b = _BUCKET_CACHE.get(gram)
+        if b is None:
+            import hashlib
+
+            if len(_BUCKET_CACHE) > 1_000_000:
+                _BUCKET_CACHE.clear()
+            b = (
+                int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+                % buckets
+            )
+            _BUCKET_CACHE[gram] = b
+        return b
     import hashlib
 
     return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16) % buckets
@@ -328,20 +347,52 @@ def default_hashed_model() -> HashedModel:
     return _DEFAULT_HASHED_MODEL
 
 
+_KEY_BUCKET_CACHE: dict[int, int] = {}
+_KEY_MASK = (1 << 21) - 1
+
+
+def _packed_grams(text: str) -> tuple[np.ndarray, np.ndarray] | None:
+    """Distinct trigrams of the capped lowercased text as int64-packed
+    keys + counts — the all-numpy replacement for Counter(text_grams)."""
+    t = text[:MAX_SCORE_CHARS].lower()
+    if len(t) < NGRAM:
+        return None
+    a = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    keys = (a[:-2] << 42) | (a[1:-1] << 21) | a[2:]
+    uk, cnt = np.unique(keys, return_counts=True)
+    return uk, cnt.astype(np.float64)
+
+
+def _keys_to_buckets(uk: np.ndarray) -> np.ndarray:
+    """Packed gram keys -> hashed buckets, memoized on the int key (the
+    md5 runs only on first sight of a gram)."""
+    out = np.empty(len(uk), dtype=np.int64)
+    cache = _KEY_BUCKET_CACHE
+    if len(cache) > 1_000_000:
+        cache.clear()
+    for i in range(len(uk)):
+        k = int(uk[i])
+        b = cache.get(k)
+        if b is None:
+            g = chr(k >> 42) + chr((k >> 21) & _KEY_MASK) + chr(k & _KEY_MASK)
+            b = gram_bucket(g)
+            cache[k] = b
+        out[i] = b
+    return out
+
+
 def classify_hashed_py(
     text: str, candidates: list[str] | None, model: HashedModel | None = None
 ) -> str:
     """classify_py semantics over hashed features: same candidate
     handling, same stable earlier-candidate tie-break, scores from the
-    bucket vectors (numpy gather + dot, vectorized per doc)."""
+    bucket vectors (numpy unique + gather + dot, vectorized per doc)."""
     model = model if model is not None else default_hashed_model()
     cands = list(candidates) if candidates else list(LANGUAGES)
-    gram_counts = Counter(text_grams(text))
-    if gram_counts:
-        idx = np.array(
-            [gram_bucket(g) for g in gram_counts], dtype=np.int64
-        )
-        cnts = np.array(list(gram_counts.values()), dtype=np.float64)
+    packed = _packed_grams(text)
+    if packed is not None:
+        uk, cnts = packed
+        idx = _keys_to_buckets(uk)
     else:
         idx, cnts = None, None
     best_lang, best_score = cands[0], float("-inf")

@@ -47,19 +47,26 @@ _COMPILED: tuple[tuple[str, re.Pattern[str], str], ...] = tuple(
 
 _TOXIC_STEMS = ("frak", "gorram", "smeg", "felder", "drokk")
 
+# Necessary condition for card/ssn/phone/ipv4: every one of those
+# patterns contains 4+ digits each separated by at most one [ .-], so a
+# text without such a run cannot match any of them. Replacements never
+# create one (<EMAIL> carries no digits and '<'/'>' are not separators),
+# so testing the ORIGINAL text once is an exact implication.
+_DIGIT_RUN_RE = re.compile(r"\d(?:[ .\-]?\d){3}")
+
 
 def py_scrub(text: str) -> tuple[str, dict[str, int]]:
     """Pure-Python spec: sequentially rewrite, count per pattern.
 
     Cheap necessary-condition guards skip regexes that cannot match
     (exact implications, so skipping never changes the result): email
-    needs '@'; card/ssn/phone/ipv4 need a digit (replacement tokens
-    contain none, so a digit-free text stays digit-free); toxicity
-    needs a lexicon stem (tokens can't splice new stems together since
-    substitution never joins adjacent chars). Guards are C-speed
-    substring scans — most clean documents run zero regexes."""
+    needs '@'; card/ssn/phone/ipv4 need a 4-digit run (_DIGIT_RUN_RE);
+    toxicity needs a lexicon stem (tokens can't splice new stems
+    together since substitution never joins adjacent chars). Guards are
+    single C-speed scans — most clean documents run zero rewrite
+    regexes."""
     counts: dict[str, int] = {}
-    has_digit = any(c.isdigit() for c in text)
+    has_digit_run = _DIGIT_RUN_RE.search(text) is not None
     for name, rx, rep in _COMPILED:
         if name == "email":
             skip = "@" not in text
@@ -67,7 +74,7 @@ def py_scrub(text: str) -> tuple[str, dict[str, int]]:
             low = text.lower()
             skip = not any(s in low for s in _TOXIC_STEMS)
         else:
-            skip = not has_digit
+            skip = not has_digit_run
         if skip:
             counts[name] = 0
             continue
