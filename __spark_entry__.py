@@ -62,17 +62,20 @@ def entry(spark: SparkSession) -> DataFrame:
         token_count_col(t).alias("n_tokens"),
         quality_score_col(t).alias("quality_score"),
     )
-    total = Window.partitionBy()
+    agg = profiled.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+    # percent-of-total via a broadcast scalar agg, not a global window:
+    # WindowExec with no partition moves everything to ONE partition
+    # (and warns); a cross-joined one-row total is warning-free and
+    # shape-safe at any scale
+    total = agg.agg(F.sum("docs").alias("_total"))
     return (
-        profiled.groupBy("lang")
-        .agg(
-            F.count("*").alias("docs"),
-            F.sum("n_tokens").alias("tokens"),
-            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
-        )
-        .withColumn(
-            "pct", F.round(F.col("docs") * 100.0 / F.sum("docs").over(total), 6)
-        )
+        agg.crossJoin(F.broadcast(total))
+        .withColumn("pct", F.round(F.col("docs") * 100.0 / F.col("_total"), 6))
+        .drop("_total")
         .orderBy(F.desc("docs"), "lang")
     )
 
@@ -194,11 +197,11 @@ def revenue_pct_by_returnflag(spark, sf_dir):
     per = li.groupBy("l_returnflag").agg(
         F.sum("l_extendedprice").alias("rev")
     )
-    total = Window.partitionBy()
-    return per.select(
+    total = per.agg(F.sum("rev").alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
         "l_returnflag",
         F.round("rev", 4).alias("revenue"),
-        F.round(F.col("rev") * 100.0 / F.sum("rev").over(total), 6).alias("pct"),
+        F.round(F.col("rev") * 100.0 / F.col("_total"), 6).alias("pct"),
     )
 
 
@@ -424,14 +427,16 @@ def events_top_users(spark, sf_dir):
 
 def lang_breakdown(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    total = Window.partitionBy()
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("docs"), F.sum("n_chars").alias("chars")
+    )
+    total = agg.agg(F.sum("docs").alias("_total"))
     return (
-        docs.groupBy("lang")
-        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+        agg.crossJoin(F.broadcast(total))
         .withColumn(
-            "pct",
-            F.round(F.col("docs") * 100.0 / F.sum("docs").over(total), 6),
+            "pct", F.round(F.col("docs") * 100.0 / F.col("_total"), 6)
         )
+        .drop("_total")
     )
 
 

@@ -9,11 +9,14 @@ embarrassingly parallel and identical whether produced driver-side
 bench scale). ``text`` is extract_text(html) by construction, freezing
 the byte-identical-extraction invariant into the data itself.
 
-Strata (FIXTURES.md §1): clean prose per language; too-short docs;
-high symbol-ratio; high-repetition; low stopword-density gibberish;
-PII + toxicity hits; vendor/boilerplate urls; Zipf-skewed hosts
-(exercises salting); lang-hint url segments; declared/sloppy/absent
-<html lang> tags; a slice of invalid-UTF-8 html bytes.
+Strata (FIXTURES.md §1): clean prose per language (24 langs, en-heavy
+Zipf-ish mix); too-short docs; high symbol-ratio; high-repetition; low
+stopword-density gibberish; stopword-dense scrambled word salad that
+only the perplexity rule catches; PII + toxicity hits;
+vendor/boilerplate urls; Zipf-skewed hosts (exercises salting);
+lang-hint url segments; declared/sloppy/absent <html lang> tags
+(incl. ambiguous tags that exercise the combinator rule contexts); a
+slice of invalid-UTF-8 html bytes.
 """
 
 from __future__ import annotations

@@ -104,7 +104,11 @@ def exact_dedup_groups(
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one row (min id) per distinct text: semi-join against the
-    canonical ids — the corpus-sized side never shuffles its payload."""
+    canonical ids — the corpus-sized side never shuffles its payload.
+
+    PRECONDITION: id_col is unique per row (true for doc_id/url keys).
+    With duplicated ids the semi-join keeps every row carrying a
+    canonical id; dedupe on (id, hash) first if ids can repeat."""
     canon = exact_dedup_groups(df, id_col, text_col).select(
         F.col("canonical_id").alias(id_col)
     )

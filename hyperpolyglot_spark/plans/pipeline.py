@@ -2,15 +2,16 @@
 
     pages(url, warc_ts, html, text, lang)
       -> ONE Arrow-batched label UDF:
-           extract -> cascade language ID -> quality signals ->
-           first-match-wins keep/drop -> scrub (kept rows only)
+           extract -> cascade language ID (hashed-NB terminal) ->
+           quality signals -> first-match-wins keep/drop ->
+           KenLM-style perplexity rule (LAST) -> scrub (kept rows only)
       -> project labels (FIXTURES.md §2 schema)
       -> metrics()/breakdown() aggregations
 
 Stage ordering inside the UDF implements the early-exit economics of
 the reference cascade (X1/X5): the NB classifier scores only rows the
-cheap metadata stages leave unresolved, and the scrub regexes run only
-on kept rows. See make_label_udf's docstring for the measured plan-shape
+cheap metadata stages leave unresolved, the char-LM scores only rows
+every cheap rule passed, and the scrub regexes run only on kept rows. See make_label_udf's docstring for the measured plan-shape
 rationale (why one fused Arrow stage beats column-expression HOFs and
 chained python stages here).
 
@@ -26,7 +27,7 @@ ours is exact by construction and the tests assert F1 == 1.0).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -102,8 +103,10 @@ def make_label_udf(spark: SparkSession, model=None, ppl_model=None):
       - two chained python stages (label, then scrub): each extra
         ArrowEvalPython buffers all pass-through columns in a row queue
         while python computes -> +6.5s for 0.5s of regex work.
-      - one fused Arrow stage: 1.6s of python (0.4ms/row single-core,
-        scales 0.85+ to 32 procs), scan -> UDF -> project, no queue.
+      - one fused Arrow stage: scan -> UDF -> project, no queue.
+        Round-2 spec cost: 0.79 ms/row single-core WITH the added
+        perplexity stage (numpy-vectorized scorers; 50k pages in 2.5s
+        at local[32] = 20.1k docs/sec).
     At 10^12 docs this shape also minimizes bytes crossing the
     JVM<->Python boundary: one hop, html in, labels out. The cascade is
     still early-exit (X1): NB scoring runs only on rows the cheap
@@ -166,12 +169,17 @@ def breakdown(labels: DataFrame) -> DataFrame:
     """Language breakdown with percent-of-total by file count
     (reference get_language_breakdown + CLI percentages,
     src/bin/main.rs:121-133; percentages are doc-count based per
-    README.md:50)."""
+    README.md:50). Percent-of-total is a cross-joined broadcast scalar
+    agg — a partitionless window would funnel the rows through ONE
+    partition (and warn)."""
     counts = labels.groupBy("lang_pred").agg(F.count("*").alias("docs"))
-    total = F.sum("docs").over(Window.partitionBy())
-    return counts.withColumn(
-        "pct", F.round(F.col("docs") * 100.0 / total, 4)
-    ).orderBy(F.desc("docs"), "lang_pred")
+    total = counts.agg(F.sum("docs").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("pct", F.round(F.col("docs") * 100.0 / F.col("_total"), 4))
+        .drop("_total")
+        .orderBy(F.desc("docs"), "lang_pred")
+    )
 
 
 # ----------------------------------------------------------------------

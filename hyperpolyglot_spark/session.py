@@ -45,7 +45,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Rows carry ~50KB html payloads: a 10k-row Arrow batch is
+        # ~500MB of buffer churn per python worker and serializes the
+        # JVM->python queue. 256-row batches measured 2.5-4x faster on
+        # the 32-core pipeline leg (26k vs 3.5-10k docs/sec, 300k
+        # pages); cheap small-row UDFs lose only ~ms per batch.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
