@@ -90,3 +90,36 @@ def test_minhash_bucket_join_prunes_pairs(spark):
 
     plan = plan_of(lsh_candidate_pairs(docs))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_perplexity_broadcasts_model(spark):
+    """In-query LM scoring joins model/ctx/vocab via broadcast — no
+    sort-merge shuffle of the event stream, no cartesian."""
+    plan = plan_of(entry_mod.doc_perplexity(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_neardup_expansion_is_equijoin_only(spark):
+    """Pre-collapse + expansion adds joins; all must stay hash
+    equi-joins (no cartesian / nested-loop anywhere)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from hyperpolyglot_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        simhash_neardup_pairs,
+    )
+
+    for df in (minhash_neardup_pairs(docs), simhash_neardup_pairs(docs)):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_percent_of_total_has_no_global_window(spark):
+    """pct queries use a broadcast scalar agg, not a partitionless
+    window (which funnels rows through ONE partition)."""
+    for q in ("lang_breakdown", "revenue_pct_by_returnflag"):
+        plan = plan_of(entry_mod.queries()[q](spark, SF))
+        assert "Window" not in plan, q
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
