@@ -566,17 +566,11 @@ def neardup_simhash_pairs(spark, sf_dir):
 def classifier_training_agg(spark, sf_dir):
     """A4 analog: per-(lang, gram) counts + log-probabilities for the
     200 most frequent char-3-grams per language."""
+    from hyperpolyglot_spark.functions.langid import exploded_grams
+
     docs = _t(spark, sf_dir, "documents")
-    t = F.substring(F.lower("text"), 1, 2000)
-    grams = F.when(
-        F.length(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - F.lit(2)),
-            lambda i: t.substr(i, F.lit(3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     counted = (
-        docs.select("lang", F.explode(grams).alias("gram"))
+        exploded_grams(docs)  # int-seq explode + codegen substr (3.8x)
         .groupBy("lang", "gram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -635,11 +629,11 @@ def hashed_gram_buckets(spark, sf_dir):
     the fixed-width fastText-style feature table whose size is bounded
     by bucket count, not vocabulary. The production classifier scores
     against exactly this table (functions/langid.py HashedModel)."""
-    from hyperpolyglot_spark.functions.langid import bucket_col, grams_col
+    from hyperpolyglot_spark.functions.langid import bucket_col, exploded_grams
 
     docs = _t(spark, sf_dir, "documents")
     counted = (
-        docs.select("lang", F.explode(grams_col(F.col("text"))).alias("gram"))
+        exploded_grams(docs)
         .select("lang", bucket_col(F.col("gram")).alias("bucket"))
         .groupBy("lang", "bucket")
         .agg(F.count("*").alias("cnt"))
@@ -661,12 +655,11 @@ def doc_perplexity(spark, sf_dir):
     therefore DuckDB-oracle-able end to end. The production pipeline
     scores with the same spec under a broadcast pre-trained model
     (functions/perplexity.py)."""
-    from hyperpolyglot_spark.functions.perplexity import PPL_ALPHA, ppl_grams_col
+    from hyperpolyglot_spark.functions.langid import exploded_grams
+    from hyperpolyglot_spark.functions.perplexity import PPL_ALPHA
 
     docs = _t(spark, sf_dir, "documents")
-    tri = docs.select(
-        "doc_id", "lang", F.explode(ppl_grams_col(F.col("text"))).alias("g")
-    )
+    tri = exploded_grams(docs, keep=("doc_id", "lang"), out="g")
     model = tri.groupBy("lang", "g").agg(F.count("*").alias("c3"))
     ctx = model.groupBy(
         "lang", F.substring("g", 1, 2).alias("cx")

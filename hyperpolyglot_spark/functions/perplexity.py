@@ -176,10 +176,16 @@ def train_ppl_spark(
     """DataFrame trainer: explode trigrams -> one partial+final hash
     agg -> collect the (small) model table driver-side. Parity with
     train_ppl_py is exact (tests/test_perplexity.py)."""
+    from .langid import exploded_grams
+
     tri_rows = (
-        df.select(
-            F.col(lang_col).alias("lang"),
-            F.explode(ppl_grams_col(F.col(text_col))).alias("g"),
+        exploded_grams(
+            df.select(
+                F.col(lang_col).alias("lang"), F.col(text_col).alias("text")
+            ),
+            n=PPL_NGRAM,
+            cap=PPL_MAX_CHARS,
+            out="g",
         )
         .groupBy("lang", "g")
         .agg(F.count("*").alias("c3"))
