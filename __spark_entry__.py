@@ -6,8 +6,9 @@ the training-data-pipeline operators) over the driver testdata tables;
 names/types are aligned pairwise (the driver hashes values under
 sorted column names).
 
-For the three queries whose semantics DuckDB cannot compute (blake2b
-simhash LSH, NB language prediction, IVF ANN probe) the oracle reads a
+For the four queries whose semantics DuckDB cannot compute (blake2b
+simhash LSH, NB language prediction, IVF ANN probe, tokenizer UDTF)
+the oracle reads a
 FROZEN expected table computed driver-side from the pure-Python specs
 — independently of the Spark implementations — and cross-checked at
 generation time (tools/gen_expected.py, data/expected_sf0.01/).
@@ -586,6 +587,24 @@ def classifier_training_agg(spark, sf_dir):
     )
 
 
+def doc_tokens(spark, sf_dir):
+    """Python UDTF surface (SURVEY §2.8): LATERAL-join the polyglot
+    tokenizer over documents — one row per (doc, pos, kind, token).
+    Capped to doc_id < 50 (the frozen-expected oracle's slice)."""
+    from hyperpolyglot_spark.functions.tokenize_udtf import register
+
+    register(spark)
+    _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("v_docs_tok")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.kind, t.token
+        FROM v_docs_tok d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
+
+
 def per_strategy_report(spark, sf_dir):
     """Per-strategy CLI report analog (src/bin/main.rs:159-199): a
     regex section filter picks the docs, each doc is attributed to the
@@ -788,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": doc_perplexity,
         "hashed_gram_buckets": hashed_gram_buckets,
         "per_strategy_report": per_strategy_report,
+        "doc_tokens": doc_tokens,
         "langid_predict_documents": langid_predict_documents,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
@@ -1233,6 +1253,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_ivf": """
             SELECT vec_id, round(cosine_raw, 6) AS cosine
             FROM read_parquet('/root/repo/data/expected_sf0.01/embedding_ann_ivf.parquet')
+        """,
+        "doc_tokens": """
+            SELECT doc_id, pos, kind, token
+            FROM read_parquet('/root/repo/data/expected_sf0.01/doc_tokens.parquet')
         """,
         "embedding_label_centroids": """
             SELECT label, count(*) AS n,

@@ -84,8 +84,10 @@ def host_quota_stream(labels: DataFrame, max_kept_per_host: int = 100) -> DataFr
             }
         )
 
+    from ..operators.cascade import _url_rest
+
     with_host = labels.withColumn(
-        "host", F.lower(F.get(F.split("url", "/"), 2))
+        "host", F.lower(F.get(F.split(_url_rest(F.col("url")), "/"), 0))
     )
     return with_host.groupBy("host").applyInPandasWithState(
         update,

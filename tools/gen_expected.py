@@ -113,6 +113,25 @@ def expected_ivf_topk() -> pd.DataFrame:
     )
 
 
+def expected_doc_tokens() -> pd.DataFrame:
+    """Pure-python tokenizer over the doc_id<50 slice — the oracle for
+    the UDTF query."""
+    from hyperpolyglot_spark.functions.tokenizer import tokenize
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE doc_id < 50 ORDER BY doc_id"
+    ).fetchall()
+    out = [
+        (doc_id, i, tok.kind, tok.text)
+        for doc_id, text in rows
+        for i, tok in enumerate(tokenize(text or ""))
+    ]
+    return pd.DataFrame(
+        out, columns=["doc_id", "pos", "kind", "token"]
+    ).astype({"doc_id": "int64", "pos": "int32"})
+
+
 def crosscheck(spark, name: str, pdf: pd.DataFrame, round_cols: dict | None = None):
     """Run the live Spark query and assert it equals the frozen table."""
     import __spark_entry__ as entry
@@ -143,6 +162,7 @@ def main():
         "neardup_simhash_pairs": expected_simhash_pairs(),
         "langid_predict_documents": expected_langid_predictions(),
         "embedding_ann_ivf": expected_ivf_topk(),
+        "doc_tokens": expected_doc_tokens(),
     }
     for name, pdf in tables.items():
         path = os.path.join(OUT, f"{name}.parquet")
@@ -162,6 +182,7 @@ def main():
         tables["embedding_ann_ivf"],
         round_cols={"cosine_raw": "cosine"},
     )
+    crosscheck(spark, "doc_tokens", tables["doc_tokens"])
     print("all frozen expected tables cross-checked OK")
 
 
