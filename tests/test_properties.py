@@ -111,3 +111,52 @@ def test_shebang_and_url_detectors_total(s):
     url = "https://" + s.replace("\n", "")
     assert tld_candidates(url) is not None
     url_hint_lang(url)  # must not raise
+
+
+@settings(max_examples=120, deadline=None)
+@given(TEXT, st.sampled_from(["en", "de", "zh", "ja", "ru", "nope"]))
+def test_perplexity_total_and_positive(s, lang):
+    from hyperpolyglot_spark.functions.perplexity import (
+        default_ppl_model,
+        logprob10_py,
+        perplexity_py,
+        ppl_events,
+    )
+
+    m = default_ppl_model()
+    lp, n = logprob10_py(s, lang, m)
+    assert n == len(ppl_events(s)) or lang not in m
+    assert lp <= 0.0  # probabilities <= 1
+    p = perplexity_py(s, lang, m)
+    if p is not None:
+        assert p >= 1.0 or abs(p - 1.0) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_hashed_classifier_total_and_matches_reference(s):
+    """classify_hashed_py's numpy path must equal a naive per-gram
+    reference on arbitrary unicode text (totality + equivalence)."""
+    from collections import Counter
+
+    from hyperpolyglot_spark.functions.langid import (
+        LANGUAGES,
+        classify_hashed_py,
+        default_hashed_model,
+        gram_bucket,
+        text_grams,
+    )
+
+    hm = default_hashed_model()
+    got = classify_hashed_py(s, None, hm)
+    gc = Counter(text_grams(s))
+    best, bs, first = LANGUAGES[0], float("-inf"), True
+    for lang in LANGUAGES:
+        score = (
+            float(sum(n * hm[lang][gram_bucket(g)] for g, n in gc.items()))
+            if gc
+            else 0.0
+        )
+        if first or score > bs:
+            best, bs, first = lang, score, False
+    assert got == best
