@@ -587,6 +587,32 @@ def classifier_training_agg(spark, sf_dir):
     )
 
 
+def docs_keep_drop(spark, sf_dir):
+    """The quality-filter rule ladder as an oracle query: signals
+    (length, symbol ratio, 3-gram repetition, stopword density) +
+    first-match-wins keep/drop over the documents table — the same
+    column expressions the pipeline parity-tests, DuckDB-checked
+    end-to-end. (No url column here, so the vendor rule can't fire;
+    perplexity is oracled separately by doc_perplexity.)"""
+    from hyperpolyglot_spark.functions.quality import (
+        with_keep_drop,
+        with_quality_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    df = with_keep_drop(with_quality_signals(docs, "text"))
+    return df.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("rep3_ratio", 6).alias("rep3_ratio"),
+        F.round("stop_density", 6).alias("stop_density"),
+        "keep",
+        "drop_rule",
+    )
+
+
 def doc_tokens(spark, sf_dir):
     """Python UDTF surface (SURVEY §2.8): LATERAL-join the polyglot
     tokenizer over documents — one row per (doc, pos, kind, token).
@@ -807,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": doc_perplexity,
         "hashed_gram_buckets": hashed_gram_buckets,
         "per_strategy_report": per_strategy_report,
+        "docs_keep_drop": docs_keep_drop,
         "doc_tokens": doc_tokens,
         "langid_predict_documents": langid_predict_documents,
         "embedding_topk": embedding_topk,
@@ -829,6 +856,49 @@ def _lang_info_values() -> str:
 
 
 _LANG_INFO_VALUES = _lang_info_values()
+
+
+def _keep_drop_sql() -> str:
+    """DuckDB form of the quality signals + rule ladder, generated from
+    the SAME dims (symbol class, stopword set, RULES table) the Spark
+    side uses — one source of truth, two engines."""
+    from hyperpolyglot_spark.functions.langdata import ALL_STOPWORDS
+    from hyperpolyglot_spark.functions.quality import RULES, _SYMBOL_CLASS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ALL_STOPWORDS))
+    ladder = "CASE"
+    for rule_id, signal, op, _thr in RULES:
+        if signal == "is_vendor_url":
+            continue  # documents carry no url; the rule can't fire
+        thr = repr(_thr)
+        ladder += f" WHEN {signal} {op} {thr} THEN '{rule_id}'"
+    ladder += " ELSE NULL END"
+    return f"""
+        WITH sig AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len(w) AS n_words,
+                 (length(text) - length(regexp_replace(text, '{_SYMBOL_CLASS}', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS symbol_ratio,
+                 CASE WHEN len(w) >= 3
+                      THEN 1.0 - len(list_distinct([array_to_string(w[i:i+2], ' ')
+                                                    for i in range(1, len(w) - 1)]))::DOUBLE
+                                 / (len(w) - 2)
+                      ELSE 0.0 END AS rep3_ratio,
+                 len(list_filter(w, x -> list_contains([{stops}], lower(x))))::DOUBLE
+                   / greatest(len(w), 1) AS stop_density
+          FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)
+        )
+        SELECT doc_id,
+               n_chars::BIGINT AS n_chars,
+               n_words::BIGINT AS n_words,
+               round(symbol_ratio, 6) AS symbol_ratio,
+               round(rep3_ratio, 6) AS rep3_ratio,
+               round(stop_density, 6) AS stop_density,
+               ({ladder}) IS NULL AS keep,
+               {ladder} AS drop_rule
+        FROM sig
+    """
 
 
 def _marker_case_sql() -> str:
@@ -1163,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rk <= 200
         """,
+        "docs_keep_drop": _keep_drop_sql(),
         "per_strategy_report": f"""
             SELECT strategy, lang, count(*) AS docs,
                    array_to_string(list_sort(list(doc_id))[1:5], ',')
