@@ -613,6 +613,20 @@ def docs_keep_drop(spark, sf_dir):
     )
 
 
+def docs_scrubbed(spark, sf_dir):
+    """PII/toxicity scrub as an oracle query: ordered sequential
+    rewrites with per-pattern counts over documents. The DuckDB oracle
+    is GENERATED from the same SCRUB_PATTERNS table as nested
+    regexp_replace/regexp_extract_all (the patterns are deliberately
+    RE2/Java/Python-compatible)."""
+    from hyperpolyglot_spark.functions.scrub import SCRUB_NAMES, with_scrub
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_scrub(docs, "text").select(
+        "doc_id", "scrubbed_text", *[f"scrub_{n}" for n in SCRUB_NAMES]
+    )
+
+
 def doc_tokens(spark, sf_dir):
     """Python UDTF surface (SURVEY §2.8): LATERAL-join the polyglot
     tokenizer over documents — one row per (doc, pos, kind, token).
@@ -834,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_gram_buckets": hashed_gram_buckets,
         "per_strategy_report": per_strategy_report,
         "docs_keep_drop": docs_keep_drop,
+        "docs_scrubbed": docs_scrubbed,
         "doc_tokens": doc_tokens,
         "langid_predict_documents": langid_predict_documents,
         "embedding_topk": embedding_topk,
@@ -899,6 +914,28 @@ def _keep_drop_sql() -> str:
                {ladder} AS drop_rule
         FROM sig
     """
+
+
+def _scrub_sql() -> str:
+    """Sequential scrub rewrites + counts, generated from
+    SCRUB_PATTERNS: count on the pre-rule text (like re.subn), then
+    nest the replacement for the next rule."""
+    from hyperpolyglot_spark.functions.scrub import SCRUB_PATTERNS
+
+    expr = "text"
+    counts = []
+    for name, pat, rep in SCRUB_PATTERNS:
+        opts = "'gi'" if name == "toxicity" else "'g'"
+        copts = ", 0, 'i'" if name == "toxicity" else ""
+        counts.append(
+            f"len(regexp_extract_all({expr}, '{pat}'{copts}))::INT"
+            f" AS scrub_{name}"
+        )
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', {opts})"
+    return (
+        f"SELECT doc_id, {expr} AS scrubbed_text, {', '.join(counts)} "
+        "FROM documents"
+    )
 
 
 def _marker_case_sql() -> str:
@@ -1234,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 200
         """,
         "docs_keep_drop": _keep_drop_sql(),
+        "docs_scrubbed": _scrub_sql(),
         "per_strategy_report": f"""
             SELECT strategy, lang, count(*) AS docs,
                    array_to_string(list_sort(list(doc_id))[1:5], ',')
