@@ -559,6 +559,21 @@ def neardup_minhash_pairs(spark, sf_dir):
     return minhash_neardup_pairs(docs, threshold=0.5)
 
 
+def neardup_incremental(spark, sf_dir):
+    """Incremental dedup: the 'new crawl drop' (doc_id >= 250) deduped
+    against the 'existing corpus' (doc_id < 250) — cross-side LSH join,
+    never re-pairing the old corpus with itself. Oracle = exact
+    all-pairs jaccard across the split."""
+    from hyperpolyglot_spark.operators.dedup import minhash_neardup_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_neardup_join(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+        threshold=0.5,
+    )
+
+
 def neardup_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, max_hamming=3)
@@ -842,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": exact_dedup_documents,
         "neardup_jaccard_pairs": neardup_jaccard_pairs,
         "neardup_minhash_pairs": neardup_minhash_pairs,
+        "neardup_incremental": neardup_incremental,
         "neardup_simhash_pairs": neardup_simhash_pairs,
         "classifier_training_agg": classifier_training_agg,
         "doc_perplexity": doc_perplexity,
@@ -1245,6 +1261,25 @@ def oracle_sql() -> dict[str, str]:
                                     - len(list_intersect(a.grams, b.grams)), 1),
                          6) AS jaccard
             FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                        / greatest(len(a.grams) + len(b.grams)
+                                   - len(list_intersect(a.grams, b.grams)), 1),
+                        6) >= 0.5
+        """,
+        "neardup_incremental": f"""
+            -- exact all-pairs jaccard across the new/old split; the
+            -- LSH join's recall at this corpus's similarity profile is
+            -- 1 (true pairs ~0.99), so LSH+verify == exact
+            WITH g AS (
+              SELECT doc_id, {_GRAMS3} AS grams
+              FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+            )
+            SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / greatest(len(a.grams) + len(b.grams)
+                                    - len(list_intersect(a.grams, b.grams)), 1),
+                         6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id >= 250 AND b.doc_id < 250
             WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
                         / greatest(len(a.grams) + len(b.grams)
                                    - len(list_intersect(a.grams, b.grams)), 1),

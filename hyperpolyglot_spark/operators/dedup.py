@@ -384,6 +384,85 @@ def minhash_neardup_pairs(
     )
 
 
+def minhash_neardup_join(
+    df_new: DataFrame,
+    df_old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 64,
+    bands: int = 16,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs BETWEEN a new batch and an
+    existing corpus (id_new, id_old, jaccard) — the continuous-crawl
+    shape, where each drop is deduped against everything already kept
+    without re-pairing the old corpus against itself.
+
+    Same scale design as the self-join variant: exact-dup pre-collapse
+    per side (a cross-side identical K x M cluster is ONE candidate
+    pair, expanded to output-sized rows), banded bucket join across
+    sides only, oversized buckets capped, candidates verified exactly.
+    Identical texts across sides carry identical signatures, so they
+    are always candidates (recall 1.0 at jaccard 1)."""
+    mem_new = dup_group_members(df_new, id_col, text_col)
+    mem_old = dup_group_members(df_old, id_col, text_col)
+    canon_new = exact_dedup(df_new, id_col, text_col)
+    canon_old = exact_dedup(df_old, id_col, text_col)
+    bn = _banded_minhash(canon_new, id_col, text_col, k, bands)
+    bo = _banded_minhash(canon_old, id_col, text_col, k, bands)
+    if max_bucket is not None:
+        # cap on COMBINED bucket sizes: the join fan-out is |new|*|old|
+        sizes = (
+            bn.select("band", "bucket")
+            .unionByName(bo.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("band", "bucket")
+        )
+        bn = bn.join(sizes, ["band", "bucket"], "left_anti")
+        bo = bo.join(sizes, ["band", "bucket"], "left_anti")
+    cands = (
+        bn.withColumnRenamed(id_col, "id_new")
+        .join(bo.withColumnRenamed(id_col, "id_old"), ["band", "bucket"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    side_new = canon_new.select(
+        F.col(id_col).alias("id_new"),
+        _distinct_shingles_col(F.col(text_col)).alias("grams"),
+    )
+    side_old = canon_old.select(
+        F.col(id_col).alias("id_old"),
+        _distinct_shingles_col(F.col(text_col)).alias("grams_b"),
+    )
+    joined = cands.join(side_new, "id_new").join(side_old, "id_old")
+    inter = F.size(F.array_intersect("grams", "grams_b"))
+    union = F.size(F.array_union("grams", "grams_b"))
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    canon_pairs = joined.select(
+        "id_new", "id_old", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+    # expand each side through its exact-dup group (no intra pairs:
+    # within-side duplicates are the self-join operator's concern)
+    ma = mem_new.select(
+        F.col("canonical_id").alias("id_new"), F.col(id_col).alias("ia")
+    )
+    mb = mem_old.select(
+        F.col("canonical_id").alias("id_old"), F.col(id_col).alias("ib")
+    )
+    return (
+        canon_pairs.join(ma, "id_new")
+        .join(mb, "id_old")
+        .select(
+            F.col("ia").alias("id_new"),
+            F.col("ib").alias("id_old"),
+            "jaccard",
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------

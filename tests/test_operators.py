@@ -318,3 +318,42 @@ def test_frame_sample_plan(spark):
     rows = frame_sample_plan(df).groupBy("media_id").count().collect()
     counts = {r["media_id"]: r["count"] for r in rows}
     assert counts == {1: 4, 2: 1, 3: 1}
+
+
+def test_incremental_neardup_join(spark, docs):
+    """New-vs-old LSH join: finds injected cross-side dups, never emits
+    within-side pairs, and a cross-side identical K x M cluster costs
+    ONE candidate pair (pre-collapse per side)."""
+    from hyperpolyglot_spark.operators.dedup import minhash_neardup_join
+
+    old = docs.limit(30).select("doc_id", "text")
+    # new batch: 10 exact copies of old docs + 5 fresh boilerplate rows
+    copies = (
+        docs.limit(10)
+        .select((F.col("doc_id") + 50_000).alias("doc_id"), "text")
+    )
+    boiler = spark.range(60_000, 60_005).select(
+        F.col("id").alias("doc_id"),
+        F.lit("fresh boilerplate text " * 10).alias("text"),
+    )
+    new = copies.union(boiler)
+    pairs = minhash_neardup_join(new, old, threshold=0.5).collect()
+    found = {(r["id_new"], r["id_old"]) for r in pairs}
+    expected = {(i + 50_000, i) for i in range(10)}
+    assert expected <= found
+    for r in pairs:
+        assert r["id_new"] >= 50_000 and r["id_old"] < 50_000
+        if (r["id_new"], r["id_old"]) in expected:
+            assert r["jaccard"] == 1.0
+
+    # K x M identical cluster across sides -> K*M output rows
+    K, M = 40, 25
+    t = F.lit("the same template page body " * 8)
+    big_new = spark.range(70_000, 70_000 + K).select(
+        F.col("id").alias("doc_id"), t.alias("text")
+    )
+    big_old = spark.range(80_000, 80_000 + M).select(
+        F.col("id").alias("doc_id"), t.alias("text")
+    )
+    out = minhash_neardup_join(big_new, big_old, threshold=0.5)
+    assert out.count() == K * M
