@@ -734,6 +734,10 @@ def doc_perplexity(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     tri = exploded_grams(docs, keep=("doc_id", "lang"), out="g")
+    # the event stream feeds BOTH the model aggregation and the scoring
+    # join; localCheckpoint materializes it once instead of re-running
+    # the explode per branch (measured 2.5x at sf0.1)
+    tri = tri.localCheckpoint(eager=False)
     model = tri.groupBy("lang", "g").agg(F.count("*").alias("c3"))
     ctx = model.groupBy(
         "lang", F.substring("g", 1, 2).alias("cx")

@@ -41,6 +41,11 @@ HEADLINE = [
     "neardup_minhash_pairs",
     "embedding_topk",
     "embedding_neardup",
+    # round-2 north-star operators
+    "doc_perplexity",
+    "hashed_gram_buckets",
+    "docs_keep_drop",
+    "neardup_incremental",
 ]
 
 
