@@ -765,7 +765,11 @@ def doc_perplexity(spark, sf_dir):
 
 def langid_predict_documents(spark, sf_dir):
     """Naive-Bayes language prediction over documents, model trained on
-    the same corpus (train==eval, like the reference). Non-SQL op."""
+    the same corpus (train==eval, like the reference; oracle = frozen
+    expected from the pure-python spec). Note the collected dict model
+    here is corpus-vocabulary-sized — convenient at test scale; the
+    production path trains offline on a bounded corpus and broadcasts
+    the FIXED-WIDTH hashed model (functions/langid.py HashedModel)."""
     from hyperpolyglot_spark.functions.langid import make_classify_udf, train_spark
 
     docs = _t(spark, sf_dir, "documents")

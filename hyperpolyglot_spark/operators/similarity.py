@@ -192,10 +192,13 @@ def ivf_centroids(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = 1,
 ) -> np.ndarray:
-    """Deterministic coarse centroids: one k-means-style refinement pass
-    over seeds taken as the n_cells lowest ids (tiny collect: centroids
-    are dim * n_cells floats — dimension-table sized)."""
+    """Deterministic coarse centroids: ``n_iters`` k-means refinement
+    passes (each ONE Spark aggregation over the corpus) over seeds taken
+    as the n_cells lowest ids (tiny collect: centroids are dim * n_cells
+    floats — dimension-table sized). One pass is enough for the fixture
+    corpus; raise n_iters at real scale for tighter cells."""
     seeds = (
         df.orderBy(id_col)
         .limit(n_cells)
@@ -203,24 +206,26 @@ def ivf_centroids(
         .collect()
     )
     C = np.array([r["v"] for r in seeds], dtype=np.float64)
-    assigned = assign_cells(df, C, id_col, vec_col)
-    sums = (
-        assigned.groupBy("cell")
-        .agg(
-            F.array(
-                *[
-                    F.sum(F.element_at(_as_double(F.col(vec_col)), i + 1))
-                    for i in range(C.shape[1])
-                ]
-            ).alias("s"),
-            F.count("*").alias("c"),
+    for _ in range(n_iters):
+        assigned = assign_cells(df, C, id_col, vec_col)
+        sums = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.element_at(_as_double(F.col(vec_col)), i + 1))
+                        for i in range(C.shape[1])
+                    ]
+                ).alias("s"),
+                F.count("*").alias("c"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    C2 = C.copy()
-    for r in sums:
-        C2[r["cell"]] = np.array(r["s"], dtype=np.float64) / r["c"]
-    return C2
+        C2 = C.copy()
+        for r in sums:
+            C2[r["cell"]] = np.array(r["s"], dtype=np.float64) / r["c"]
+        C = C2
+    return C
 
 
 def assign_cells(
