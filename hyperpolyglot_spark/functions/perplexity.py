@@ -80,7 +80,10 @@ def train_ppl_py(corpus: list[tuple[str, str]]) -> PplModel:
 # with numpy (unique + searchsorted + dot) instead of 2000 string
 # slices + dict probes. log10 is evaluated once per MODEL entry, not
 # once per document event. Same probabilities, ~10x less python time.
-_SCORER_CACHE: dict[int, dict] = {}
+# id(model) -> (model, scorer). The model reference is held STRONGLY so
+# the id can never be recycled by a different dict (id-reuse after GC
+# would silently serve the wrong scorer); identity is re-checked on hit.
+_SCORER_CACHE: dict[int, tuple[PplModel, dict]] = {}
 
 
 def _pack3(g: str) -> int:
@@ -93,29 +96,30 @@ def _pack2(cx: str) -> int:
 
 def _scorer(model: PplModel) -> dict:
     key = id(model)
-    sc = _SCORER_CACHE.get(key)
-    if sc is None:
-        if len(_SCORER_CACHE) > 8:
-            _SCORER_CACHE.clear()
-        sc = {}
-        for lang, (tri, ctx, v) in model.items():
-            denom = {cx: c2 + PPL_ALPHA * v for cx, c2 in ctx.items()}
-            tri_items = sorted(
-                (_pack3(g), math.log10((c3 + PPL_ALPHA) / denom[g[:2]]))
-                for g, c3 in tri.items()
-            )
-            ctx_items = sorted(
-                (_pack2(cx), math.log10(PPL_ALPHA / d))
-                for cx, d in denom.items()
-            )
-            sc[lang] = (
-                np.array([k for k, _ in tri_items], dtype=np.int64),
-                np.array([p for _, p in tri_items], dtype=np.float64),
-                np.array([k for k, _ in ctx_items], dtype=np.int64),
-                np.array([p for _, p in ctx_items], dtype=np.float64),
-                math.log10(PPL_ALPHA / (PPL_ALPHA * v)),
-            )
-        _SCORER_CACHE[key] = sc
+    hit = _SCORER_CACHE.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    if len(_SCORER_CACHE) > 8:
+        _SCORER_CACHE.clear()
+    sc = {}
+    for lang, (tri, ctx, v) in model.items():
+        denom = {cx: c2 + PPL_ALPHA * v for cx, c2 in ctx.items()}
+        tri_items = sorted(
+            (_pack3(g), math.log10((c3 + PPL_ALPHA) / denom[g[:2]]))
+            for g, c3 in tri.items()
+        )
+        ctx_items = sorted(
+            (_pack2(cx), math.log10(PPL_ALPHA / d))
+            for cx, d in denom.items()
+        )
+        sc[lang] = (
+            np.array([k for k, _ in tri_items], dtype=np.int64),
+            np.array([p for _, p in tri_items], dtype=np.float64),
+            np.array([k for k, _ in ctx_items], dtype=np.int64),
+            np.array([p for _, p in ctx_items], dtype=np.float64),
+            math.log10(PPL_ALPHA / (PPL_ALPHA * v)),
+        )
+    _SCORER_CACHE[key] = (model, sc)
     return sc
 
 
