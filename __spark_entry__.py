@@ -514,7 +514,10 @@ def docs_matching_regex(spark, sf_dir):
 def lang_chars_zscore(spark, sf_dir):
     """Grouped-map pandas UDF (applyInPandas): per-language z-score of
     doc length — the custom-stateful-per-group surface. Oracle is the
-    equivalent window SQL."""
+    equivalent window SQL. (Scale note: grouping by a low-cardinality
+    key funnels each language through one task — at corpus scale
+    compute mu/sd with a two-pass agg + broadcast instead; this entry
+    exists to exercise the grouped-map surface.)"""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -6,7 +6,8 @@ Stage order and candidate-narrowing semantics mirror the reference:
   2. host TLD   (extension 1:N probe, :147-155) -> resolved if unique
   3. meta lang  (shebang parse + intersect, :157-166)
   4. heuristics (rule engine + intersect, only if >1 candidate, :169-185)
-  5. classifier (naive Bayes over remaining candidates, :187-194);
+  5. classifier (naive Bayes over remaining candidates, :187-194 —
+     by default the HASHED fixed-width n-gram model, langid.HashedModel);
      deviation from the reference (documented): 0 candidates at the
      terminal classifies over ALL languages instead of returning None —
      a web pipeline labels every document (classifier.rs:19-22 is the
