@@ -605,6 +605,28 @@ def classifier_training_agg(spark, sf_dir):
     )
 
 
+def doc_script_mix(spark, sf_dir):
+    """Per-document script-mix ratios (latin/cjk/cyrillic/...): the
+    standard multilingual-corpus signal for mixed-script boilerplate or
+    mislabeled docs. One scan, pure regexp_replace length arithmetic —
+    the same literal ranges compile under Java regex and DuckDB RE2."""
+    from hyperpolyglot_spark.functions.textstats import (
+        SCRIPT_CLASSES,
+        script_ratio_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.round(script_ratio_col(t, s), 6).alias(f"{s}_ratio")
+            for s in sorted(SCRIPT_CLASSES)
+        ],
+    )
+
+
 def docs_keep_drop(spark, sf_dir):
     """The quality-filter rule ladder as an oracle query: signals
     (length, symbol ratio, 3-gram repetition, stopword density) +
@@ -874,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": doc_perplexity,
         "hashed_gram_buckets": hashed_gram_buckets,
         "per_strategy_report": per_strategy_report,
+        "doc_script_mix": doc_script_mix,
         "docs_keep_drop": docs_keep_drop,
         "docs_scrubbed": docs_scrubbed,
         "doc_tokens": doc_tokens,
@@ -898,6 +921,17 @@ def _lang_info_values() -> str:
 
 
 _LANG_INFO_VALUES = _lang_info_values()
+
+
+def _script_mix_sql() -> str:
+    from hyperpolyglot_spark.functions.textstats import SCRIPT_CLASSES
+
+    cols = ", ".join(
+        f"round((length(text) - length(regexp_replace(text, '[{cls}]', '', 'g')))::DOUBLE"
+        f" / greatest(length(text), 1), 6) AS {s}_ratio"
+        for s, cls in sorted(SCRIPT_CLASSES.items())
+    )
+    return f"SELECT doc_id, lang, {cols} FROM documents"
 
 
 def _keep_drop_sql() -> str:
@@ -1316,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rk <= 200
         """,
+        "doc_script_mix": _script_mix_sql(),
         "docs_keep_drop": _keep_drop_sql(),
         "docs_scrubbed": _scrub_sql(),
         "per_strategy_report": f"""

@@ -53,6 +53,28 @@ def fingerprint_col(text: Column) -> Column:
     )
 
 
+# Script character classes (literal ranges — compile identically under
+# Java regex, RE2/DuckDB, and python re). Used for per-doc script-mix
+# ratios: the standard multilingual-corpus signal for detecting mixed
+# CJK/Latin boilerplate, transliteration spam, or mislabeled docs.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏḀ-ỿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+}
+
+
+def script_ratio_col(text: Column, script: str) -> Column:
+    """Fraction of characters in the given script's ranges."""
+    cls = SCRIPT_CLASSES[script]
+    n = F.length(text)
+    kept = n - F.length(F.regexp_replace(text, f"[{cls}]", ""))
+    return kept.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+
+
 def quality_score_col(text: Column) -> Column:
     """Composite [0,1] quality score: length (saturating at 500 chars),
     lexical diversity, and word-shape sanity (mean word length 3-12)."""
