@@ -362,6 +362,23 @@ def events_salted_counts(spark, sf_dir):
     )
 
 
+def events_json_props(spark, sf_dir):
+    """JSON scalar-function surface: parse the props JSON column
+    (get_json_object / from_json), bucket by the extracted key, and
+    aggregate — the date/math/JSON built-ins row of SURVEY §2.7."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .withColumn("k_bucket", (F.col("k") / 10).cast("int"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
 def source_langs_csv(spark, sf_dir):
     """Sorted collect_set rendered as a stable string (the per-strategy
     sorted-tally analog, src/bin/main.rs:163-175)."""
@@ -871,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_revenue_by_priority": sql_api_revenue_by_priority,
         "events_value_stats": events_value_stats,
         "events_salted_counts": events_salted_counts,
+        "events_json_props": events_json_props,
         "source_langs_csv": source_langs_csv,
         "events_hourly": events_hourly,
         "events_sessionization": events_sessionization,
@@ -1145,6 +1163,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY event_type
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   -- // = integer division (a plain / then ::INT would
+                   -- ROUND in DuckDB while Spark's cast truncates)
+                   (json_extract(props, '$.k')::INT // 10) AS k_bucket,
+                   count(*) AS n,
+                   round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k
+            FROM events GROUP BY 1, 2
         """,
         "source_langs_csv": """
             SELECT source,
