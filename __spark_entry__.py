@@ -420,6 +420,30 @@ def purchases_asof_click(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "click_ts", "click_event_id")
 
 
+def clicks_in_purchase_windows(spark, sf_dir):
+    """RANGE join (no equi key): count clicks — from ANY user — inside
+    each purchase's 30-minute window. operators/temporal.range_join
+    buckets time so the plan is a hash equi-join on bucket + exact
+    range filter, never a nested-loop; the oracle is DuckDB's native
+    inequality join."""
+    from hyperpolyglot_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts", "value"
+    )
+    j = range_join(clicks, intervals, "ts", "start_ts", "end_ts", 1800)
+    return j.groupBy("interval_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("value"), 4).alias("click_value"),
+    )
+
+
 def orders_cube(spark, sf_dir):
     """CUBE over (priority, status): all grouping-set combinations."""
     orders = _t(spark, sf_dir, "orders")
@@ -894,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": events_sessionization,
         "events_type_pivot": events_type_pivot,
         "purchases_asof_click": purchases_asof_click,
+        "clicks_in_purchase_windows": clicks_in_purchase_windows,
         "orders_cube": orders_cube,
         "events_top_users": events_top_users,
         "lang_breakdown": lang_breakdown,
@@ -1221,6 +1246,19 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        "clicks_in_purchase_windows": """
+            WITH p AS (
+              SELECT event_id AS interval_id, ts AS start_ts,
+                     ts + INTERVAL 30 MINUTE AS end_ts
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT ts, value FROM events WHERE event_type = 'click'
+            )
+            SELECT interval_id, count(*) AS n_clicks,
+                   round(sum(c.value), 4) AS click_value
+            FROM p JOIN c ON c.ts >= p.start_ts AND c.ts <= p.end_ts
+            GROUP BY interval_id
         """,
         "orders_cube": """
             SELECT o_orderpriority, o_orderstatus,

@@ -1,4 +1,4 @@
-"""Temporal joins Spark lacks as built-ins — as-of join.
+"""Temporal joins Spark lacks as built-ins — as-of join, range join.
 
 as-of join (each left row matched to the most recent right row with
 right_ts <= left_ts, per key) is a named gap in Spark's operator set
@@ -56,3 +56,47 @@ def asof_join(
     for c in payload_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(f"_m.{c}"))
     return out.drop("_m")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_secs: int = 1800,
+) -> DataFrame:
+    """Point-in-interval RANGE join (left.ts BETWEEN right.start and
+    right.end) without an equi key — the second temporal join Spark
+    lacks (task brief).
+
+    Naive Spark turns a pure range predicate into
+    BroadcastNestedLoopJoin (O(|L|*|R|), only viable when one side is
+    tiny). This uses interval bucketing instead: points get one time
+    bucket, intervals EXPLODE into every bucket they touch, the join is
+    a hash EQUI-join on bucket, and the exact range predicate filters
+    the candidates. Each (point, interval) match is found exactly once
+    (in the point's bucket), so no dedup pass is needed. Cost is
+    O(|L| + |R| * avg_buckets_per_interval + matches); pick bucket_secs
+    near the typical interval length so intervals touch ~2 buckets."""
+    lb = left.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(left_ts)) / bucket_secs)
+    )
+    rb = (
+        right.withColumn(
+            "_bs", F.floor(F.unix_timestamp(F.col(start_col)) / bucket_secs)
+        )
+        .withColumn(
+            "_be", F.floor(F.unix_timestamp(F.col(end_col)) / bucket_secs)
+        )
+        .withColumn("_b", F.explode(F.sequence("_bs", "_be")))
+        .drop("_bs", "_be")
+    )
+    return (
+        lb.join(rb, "_b")
+        .filter(
+            (F.col(left_ts) >= F.col(start_col))
+            & (F.col(left_ts) <= F.col(end_col))
+        )
+        .drop("_b")
+    )

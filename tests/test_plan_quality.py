@@ -123,3 +123,12 @@ def test_percent_of_total_has_no_global_window(spark):
         plan = plan_of(entry_mod.queries()[q](spark, SF))
         assert "Window" not in plan, q
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_range_join_is_bucketed_equijoin(spark):
+    """The range join must compile to a hash/sort-merge EQUI-join on
+    the time bucket — never BroadcastNestedLoopJoin (the O(L*R) trap a
+    raw range predicate produces)."""
+    plan = plan_of(entry_mod.clicks_in_purchase_windows(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
