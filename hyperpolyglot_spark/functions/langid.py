@@ -279,13 +279,14 @@ def gram_bucket(gram: str, buckets: int = HASH_BUCKETS) -> int:
     DuckDB (the oracle path). Never builtin hash() (salted).
 
     Grams repeat massively across documents, so default-width lookups
-    are memoized (bounded cache, md5 skipped on the hot path)."""
+    are memoized (bounded at 200k entries ~ 20MB per python worker;
+    md5 runs only on first sight of a gram)."""
     if buckets == HASH_BUCKETS:
         b = _BUCKET_CACHE.get(gram)
         if b is None:
             import hashlib
 
-            if len(_BUCKET_CACHE) > 1_000_000:
+            if len(_BUCKET_CACHE) > 200_000:
                 _BUCKET_CACHE.clear()
             b = (
                 int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
@@ -394,7 +395,7 @@ def _keys_to_buckets(uk: np.ndarray) -> np.ndarray:
     md5 runs only on first sight of a gram)."""
     out = np.empty(len(uk), dtype=np.int64)
     cache = _KEY_BUCKET_CACHE
-    if len(cache) > 1_000_000:
+    if len(cache) > 200_000:
         cache.clear()
     for i in range(len(uk)):
         k = int(uk[i])
