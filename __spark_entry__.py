@@ -882,6 +882,17 @@ def embedding_label_centroids(spark, sf_dir):
     return emb.groupBy("label").agg(F.count("*").alias("n"), *aggs)
 
 
+def embedding_knn(spark, sf_dir):
+    """Exact top-3 neighbors per vector (KNN self-join). Unblocked here
+    (the oracle-able baseline at test scale); the operator takes an IVF
+    cell / SRP bucket as block_col for the candidates-only scale path
+    (recall asserted in tests)."""
+    from hyperpolyglot_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, k=3)
+
+
 def embedding_ann_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-k (rows-only check: ANN is not
     SQL-expressible; accuracy vs brute force asserted in tests)."""
@@ -947,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
         "embedding_label_centroids": embedding_label_centroids,
+        "embedding_knn": embedding_knn,
         "embedding_ann_ivf": embedding_ann_ivf,
     }
 
@@ -1512,6 +1524,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": """
             SELECT doc_id, pos, kind, token
             FROM read_parquet('/root/repo/data/expected_sf0.01/doc_tokens.parquet')
+        """,
+        "embedding_knn": """
+            SELECT vec_id, neighbor_id, cosine, rk FROM (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                             b.embedding::DOUBLE[]), 6) DESC,
+                                b.vec_id) AS rk
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            WHERE rk <= 3
         """,
         "embedding_label_centroids": """
             SELECT label, count(*) AS n,

@@ -98,6 +98,77 @@ def cosine_neardup_pairs(
     )
 
 
+def knn_join(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Top-k nearest neighbors (cosine) for EVERY vector — the KNN
+    self-join behind near-dup thresholding and clustering prep.
+
+    Unblocked = the exact all-pairs baseline (oracle-able; quadratic —
+    test scale only). At corpus scale pass a blocking column: an IVF
+    cell (assign_cells) or SRP bucket makes it candidates-only, the
+    standard approximate KNN-join (recall asserted in tests). Ties
+    break on neighbor id, like brute_force_topk."""
+    side = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+        *([F.col(block_col)] if block_col else []),
+    ).withColumn("n", norm_col(F.col("v")))
+    a, b = side.alias("a"), side.alias("b")
+    cond = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sim = dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias(id_col),
+        F.col(f"b.{id_col}").alias("neighbor_id"),
+        F.round(sim, 6).alias("cosine"),
+    )
+    if block_col:
+        # multi-probe assignment duplicates a pair once per shared cell
+        pairs = pairs.dropDuplicates([id_col, "neighbor_id"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "neighbor_id", "cosine", "rk")
+    )
+
+
+def assign_cells_multi(
+    df: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe cell assignment: one row per (vector, cell) for the
+    vector's n_probe nearest centroids. The standard recall fix for
+    blocked KNN — boundary vectors appear in the neighboring cell too,
+    at n_probe x storage/candidate cost."""
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells_udf(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = Vn @ Cn.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return df.withColumn("cell", F.explode(cells_udf(F.col(vec_col))))
+
+
 # ----------------------------------------------------------------------
 # IVF ANN
 # ----------------------------------------------------------------------

@@ -393,3 +393,26 @@ def test_range_join_exact(spark):
     assert got == naive
     assert (5, 100) in got and (10, 100) in got  # inclusive bounds
     assert not any(i == 102 for _, i in got)
+
+
+def test_knn_join_blocked_recall(spark, emb):
+    """IVF-cell-blocked KNN join (the scale path) with MULTI-PROBE
+    assignment must recover nearly all exact top-3 edges (boundary
+    vectors appear in neighboring cells too); single-probe blocking
+    measured only ~0.3-0.6 recall on this near-uniform corpus."""
+    from hyperpolyglot_spark.operators.similarity import (
+        assign_cells_multi,
+        knn_join,
+    )
+
+    C = ivf_centroids(emb, n_cells=8)
+    blocked_src = assign_cells_multi(emb, C, n_probe=3)
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in knn_join(emb, k=3).collect()
+    }
+    blocked = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in knn_join(blocked_src, k=3, block_col="cell").collect()
+    }
+    assert len(blocked & exact) / len(exact) >= 0.9
