@@ -1410,7 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_training_agg": """
             WITH grams AS (
               SELECT lang, substring(t, i, 3) AS gram
-              FROM (SELECT lang, substring(lower(text), 1, 2000) AS t
+              FROM (SELECT lang, lower(substring(text, 1, 2000)) AS t
                     FROM documents) d,
                    LATERAL (SELECT unnest(generate_series(1, greatest(length(d.t) - 2, 0))) AS i)
             ), counted AS (
@@ -1445,7 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         "hashed_gram_buckets": """
             WITH grams AS (
               SELECT lang, substring(t, i, 3) AS gram
-              FROM (SELECT lang, substring(lower(text), 1, 2000) AS t
+              FROM (SELECT lang, lower(substring(text, 1, 2000)) AS t
                     FROM documents) d,
                    LATERAL (SELECT unnest(generate_series(1,
                             greatest(length(d.t) - 2, 0))) AS i)
@@ -1463,7 +1463,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_perplexity": """
             WITH t AS (
-              SELECT doc_id, lang, substring(lower(text), 1, 2000) AS t
+              SELECT doc_id, lang, lower(substring(text, 1, 2000)) AS t
               FROM documents
             ), tri AS (
               SELECT doc_id, lang, substring(t, i, 3) AS g

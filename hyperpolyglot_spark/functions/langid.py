@@ -228,8 +228,13 @@ def exploded_grams(
     whole-stage-codegen'd — instead of building a string array through
     an interpreted transform() lambda (measured 3.8x faster on the
     sf0.1 training agg). Length-gated: texts shorter than n emit no
-    rows (sequence(1, 0) would descend)."""
-    t = F.substring(F.lower(F.col(text_col)), 1, cap)
+    rows (sequence(1, 0) would descend).
+
+    Cap BEFORE lower — mirrors the frozen Python spec text[:cap].lower()
+    exactly. The reverse order shifts the gram stream when a
+    case-expanding char ('İ' -> 'i̇') appears before the cap in a
+    longer-than-cap text (tests/test_hashed_langid.py boundary case)."""
+    t = F.lower(F.substring(F.col(text_col), 1, cap))
     length = F.length("_t")
     seq = F.when(
         length >= n, F.sequence(F.lit(1), length - F.lit(n - 1))
@@ -243,9 +248,10 @@ def exploded_grams(
 
 def grams_col(text: Column | str, n: int = NGRAM, cap: int = MAX_SCORE_CHARS) -> Column:
     """JVM-side char-n-gram array (for per-row gram ARRAYS; bulk
-    explode paths should use exploded_grams instead)."""
+    explode paths should use exploded_grams instead). Cap before lower,
+    like the Python spec (see exploded_grams)."""
     c = F.col(text) if isinstance(text, str) else text
-    t = F.substring(F.lower(c), 1, cap)
+    t = F.lower(F.substring(c, 1, cap))
     length = F.length(t)
     return F.when(
         length >= n,

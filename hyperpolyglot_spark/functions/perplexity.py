@@ -163,7 +163,7 @@ def ppl_grams_col(text: Column | str, n: int = PPL_NGRAM, cap: int = PPL_MAX_CHA
     langid.grams_col: sequence(1, 0) descends, so short texts must emit
     an EMPTY array, not spurious grams)."""
     c = F.col(text) if isinstance(text, str) else text
-    t = F.substring(F.lower(c), 1, cap)
+    t = F.lower(F.substring(c, 1, cap))  # cap BEFORE lower = text[:cap].lower()
     length = F.length(t)
     return F.when(
         length >= n,

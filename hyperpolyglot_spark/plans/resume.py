@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,8 +44,11 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     path = os.path.join(out_dir, MANIFEST_DIR)
     try:
         rows = spark.read.parquet(path).select("bucket").distinct().collect()
-    except Exception:  # AnalysisException: path does not exist yet
+    except AnalysisException:  # path does not exist yet -> fresh run
         return set()
+    # any OTHER error (permissions, corrupt footer, transient FS) must
+    # propagate: swallowing it would silently restart the whole run and
+    # append duplicate manifest rows (ADVICE r2)
     return {r["bucket"] for r in rows}
 
 
@@ -106,7 +110,7 @@ def run_with_resume(
                 )
             )
             lineage = group_df.join(agg, "bucket", "left")
-        except Exception:  # no labels written at all yet (all-empty group)
+        except AnalysisException:  # no labels written yet (all-empty group)
             lineage = group_df.select(
                 "bucket",
                 F.lit(None).cast("long").alias("docs"),

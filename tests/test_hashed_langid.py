@@ -97,3 +97,38 @@ def test_jvm_bucket_matches_python(spark):
     }
     for g in grams:
         assert got[g] == gram_bucket(g), g
+
+
+def test_cap_before_lower_boundary(spark):
+    """Cap/lower ORDER parity (ADVICE r2): the spec is text[:cap].lower().
+    'İ' lowercases to 2 chars ('i' + combining dot), so lowering BEFORE
+    capping shifts every gram after it in longer-than-cap texts. The
+    Spark gram columns must slice first, exactly like the Python spec."""
+    from pyspark.sql import functions as F
+
+    from hyperpolyglot_spark.functions.langid import (
+        MAX_SCORE_CHARS,
+        exploded_grams,
+        grams_col,
+        text_grams,
+    )
+
+    # 'İ' sits well before the cap; text extends past the cap so the
+    # wrong order would shift the capped window by one char per 'İ'.
+    text = ("İstanbul und das wasser " * 200)[: MAX_SCORE_CHARS + 50]
+    expected = text_grams(text)
+
+    df = spark.createDataFrame([("x", text)], "lang string, text string")
+    got_exploded = [
+        r["gram"] for r in exploded_grams(df).select("gram").collect()
+    ]
+    assert got_exploded == expected
+
+    got_arr = df.select(grams_col(F.col("text")).alias("g")).collect()[0]["g"]
+    assert list(got_arr) == expected
+
+    # perplexity gram column follows the same contract
+    from hyperpolyglot_spark.functions.perplexity import ppl_events, ppl_grams_col
+
+    got_ppl = df.select(ppl_grams_col(F.col("text")).alias("g")).collect()[0]["g"]
+    assert list(got_ppl) == ppl_events(text)

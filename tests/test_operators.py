@@ -416,3 +416,21 @@ def test_knn_join_blocked_recall(spark, emb):
         for r in knn_join(blocked_src, k=3, block_col="cell").collect()
     }
     assert len(blocked & exact) / len(exact) >= 0.9
+
+
+def test_hash64_batch_is_padding_width_independent():
+    """Regression: the vectorized lane hash must give each string the
+    SAME value regardless of the longest string sharing its batch —
+    otherwise signatures become batch-composition-dependent and LSH
+    recall collapses nondeterministically."""
+    from hyperpolyglot_spark.operators.dedup import _base_hash64, _hash64_batch
+
+    strs = ["", "a", "ab", "hello world", "的是了 ünïcödé", "z" * 63]
+    solo = [_base_hash64(s) for s in strs]
+    for tail in ([], ["y" * 7], ["y" * 8], ["y" * 500]):
+        got = [int(x) for x in _hash64_batch(strs + tail)[: len(strs)]]
+        assert got == solo, tail
+    # NUL-padding cannot collide with explicit NULs (length is folded in)
+    tricky = ["a", "a\x00", "a\x00\x00", "ab"]
+    hs = _hash64_batch(tricky)
+    assert len(set(int(x) for x in hs)) == len(tricky)
