@@ -1020,7 +1020,8 @@ def _keep_drop_sql() -> str:
     from hyperpolyglot_spark.functions.langdata import ALL_STOPWORDS
     from hyperpolyglot_spark.functions.quality import RULES, _SYMBOL_CLASS
 
-    stops = ", ".join(f"'{w}'" for w in sorted(ALL_STOPWORDS))
+    # SQL-escape: the Afrikaans stopword 'n carries an apostrophe
+    stops = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ALL_STOPWORDS))
     ladder = "CASE"
     for rule_id, signal, op, _thr in RULES:
         if signal == "is_vendor_url":
@@ -1082,7 +1083,9 @@ def _marker_case_sql() -> str:
     from hyperpolyglot_spark.functions.langdata import MARKER_RULES
 
     whens = " ".join(
-        f"WHEN '{lang}' THEN regexp_matches(text, '{pat}')"
+        "WHEN '{}' THEN regexp_matches(text, '{}')".format(
+            lang, pat.replace("'", "''")  # af marker contains '
+        )
         for lang, pat in MARKER_RULES.items()
     )
     return f"(CASE lang {whens} ELSE false END)"

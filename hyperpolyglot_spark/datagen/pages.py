@@ -37,13 +37,35 @@ _UNIQUE_TLD = {"en": "uk", "de": "de", "fr": "fr", "it": "it",
                "sv": "se", "da": "dk", "fi": "fi", "pl": "pl",
                "cs": "cz", "ro": "ro", "hu": "hu", "tr": "tr",
                "ru": "ru", "el": "gr", "ja": "jp", "ko": "kr",
-               "ar": "sa", "hi": "in", "id": "id", "vi": "vn"}
-_AMBIG_TLD = {"en": ("ca", "in"), "de": ("ch", "nl", "at"),
+               "ar": "sa", "hi": "in", "id": "id", "vi": "vn",
+               # round-3 breadth block. Not all of these resolve
+               # uniquely in TLD_LANGS (.in carries 8 candidates, .ua
+               # two) — those languages exercise the later cascade
+               # stages instead, which is exactly the point.
+               "no": "no", "uk": "ua", "bg": "bg", "sr": "rs",
+               "hr": "hr", "sk": "sk", "sl": "si", "lt": "lt",
+               "lv": "lv", "et": "ee", "he": "il", "fa": "ir",
+               "ur": "pk", "bn": "bd", "ta": "lk", "te": "in",
+               "ml": "in", "mr": "in", "th": "th", "ms": "my",
+               "tl": "ph", "sw": "tz", "af": "za", "ca": "ad",
+               "gl": "es", "eu": "es", "is": "is", "ga": "ie",
+               "cy": "uk", "sq": "al", "mk": "mk", "az": "az",
+               "kk": "kz", "ka": "ge", "hy": "am", "be": "by"}
+_AMBIG_TLD = {"en": ("ca", "in", "ie", "sg", "za"),
+              "de": ("ch", "nl", "at"),
               "fr": ("ch", "be", "ca"),
-              "it": ("ch",), "nl": ("be",), "zh": ("tw",),
+              "it": ("ch",), "nl": ("be",), "zh": ("tw", "sg", "hk"),
               "es": ("es", "br", "ar", "mx"), "pt": ("pt", "br"),
-              "sv": ("fi",), "fi": ("fi",), "ru": ("ua",),
-              "ar": ("ae", "eg"), "hi": ("in",), "cs": ("sk",)}
+              "sv": ("fi",), "fi": ("fi",), "ru": ("ua", "by", "kz"),
+              "ar": ("ae", "eg"), "hi": ("in",), "cs": ("sk",),
+              "no": ("no",), "uk": ("ua",), "be": ("by",),
+              "sr": ("rs",), "hr": ("hr",), "sk": ("sk",),
+              "ur": ("pk", "in"), "ta": ("lk", "in"),
+              "te": ("in",), "ml": ("in",), "mr": ("in",),
+              "bn": ("in",), "ms": ("sg",), "tl": ("ph",),
+              "sw": ("ke",), "af": ("za",), "ga": ("ie",),
+              "ka": ("ge",), "hy": ("am",), "az": ("az",),
+              "kk": ("kz",), "gl": ("es",), "eu": ("es",)}
 _NEUTRAL_TLD = ("com", "org", "net", "io")
 _N_HOSTS = 16
 _ZIPF_WEIGHTS = [1.0 / (i + 1) ** 1.2 for i in range(_N_HOSTS)]
@@ -58,7 +80,22 @@ _SLOPPY_TAGS = {"es": "iberian", "pt": "iberian", "de": "germanic",
                 "nl": "germanic", "fr": "romance", "it": "romance",
                 "sv": "scandinavian", "da": "scandinavian",
                 "ru": "slavic", "pl": "slavic", "cs": "slavic",
-                "zh": "cjk", "ja": "cjk", "ko": "cjk"}
+                "zh": "cjk", "ja": "cjk", "ko": "cjk",
+                # round-3 contexts: each tag is an ambiguous candidate
+                # set backed by a combinator rule table (rules.py)
+                "no": "nordic", "uk": "eastslavic", "be": "eastslavic",
+                "bg": "balkanslavic", "mk": "balkanslavic",
+                "sr": "balkan", "hr": "balkan", "sl": "southslavic",
+                "sk": "czechoslovak", "lt": "baltic", "lv": "baltic",
+                "et": "baltofinnic", "ms": "malay", "id": "malay",
+                "ca": "iberia", "gl": "galaico", "eu": "iberiafull",
+                "fa": "perso", "ur": "hindustani", "mr": "devanagari",
+                "ta": "indic", "te": "indic", "ml": "indic",
+                "bn": "indic", "tr": "turkic", "az": "azeri",
+                "kk": "steppe", "af": "kaaps", "ga": "celtic",
+                "cy": "brythonic", "he": "levantine", "is": "insular",
+                "sw": "eastafrican", "tl": "philippine",
+                "ka": "kartvelian", "hy": "transcaucasian"}
 
 _PII_SNIPPETS = (
     "contact me at alice.smith@example.org for details",
@@ -220,13 +257,15 @@ def gen_page(row_id: int, seed: int = 42) -> dict:
     }
 
 
-# en-heavy mix with a long tail, like the web (normalized at import)
+# en-heavy mix with a long tail, like the web (normalized at import);
+# the round-3 breadth languages each get weight 1 — a genuine long tail
 _LANG_WEIGHTS = {
     "en": 28, "de": 7, "fr": 6, "es": 7, "it": 4, "pt": 4, "nl": 3,
     "zh": 5, "sv": 2, "da": 2, "fi": 2, "pl": 3, "cs": 2, "ro": 2,
     "hu": 2, "tr": 3, "ru": 5, "el": 2, "ja": 4, "ko": 3, "ar": 3,
     "hi": 3, "id": 3, "vi": 2,
 }
+_LANG_WEIGHTS.update({l: 1 for l in LANGUAGES if l not in _LANG_WEIGHTS})
 _LANG_CDF = []
 _wacc = 0.0
 _wtotal = float(sum(_LANG_WEIGHTS[l] for l in LANGUAGES))

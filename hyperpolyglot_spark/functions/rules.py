@@ -143,6 +143,225 @@ DISAMBIGUATION_RULES: dict[str, list[Rule]] = {
     ],
 }
 
+_W = r"(?:^|\s)(?:%s)(?:\s|$)"  # word-boundary wrapper (both engines)
+
+
+def _pos(*words: str) -> Positive:
+    return Positive(_W % "|".join(words))
+
+
+def _neg(*words: str) -> Negative:
+    return Negative(_W % "|".join(words))
+
+
+# Round-3 breadth: the extended context tables below push coverage from
+# 7 to 41 candidate-set contexts (toward heuristics.yml's 69 per-key
+# blocks, reference heuristics.yml:30-530). Shared-script pairs get
+# word-level And/Or/Negative ladders; distinct-script members resolve
+# on script ranges — the same Positive/Negative split the reference
+# uses for e.g. .h (C/C++/ObjC) vs .es (Erlang/JavaScript).
+DISAMBIGUATION_RULES.update({
+    # Danish vs Norwegian Bokmål: 'af' is Danish, 'av' Norwegian
+    "dano": [
+        Rule(("no",), And((_pos("av", "fra", "språk"), _neg("af")))),
+        Rule(("da",), _pos("af")),
+        Rule(("da", "no")),
+    ],
+    "nordic": [
+        Rule(("sv",), _pos("och", "är", "eftersom")),
+        Rule(("no",), And((_pos("av", "fordi", "språk"), _neg("af")))),
+        Rule(("da",), _pos("af", "ikke")),
+        Rule(("sv", "da", "no")),
+    ],
+    "czechoslovak": [
+        Rule(("sk",), _pos("sa", "aj", "pretože", "ľudia")),
+        Rule(("cs",), _pos("se", "že", "protože")),
+        Rule(("cs", "sk")),
+    ],
+    # Croatian (latin) vs Serbian (cyrillic): script decides; both-
+    # scripts text prefers sr (the cyrillic presence is decisive)
+    "balkan": [
+        Rule(("sr",), Positive(r"[а-џ]")),
+        Rule(("hr",), _pos("što", "kao", "jer", "vrijeme")),
+        Rule(("hr", "sr")),
+    ],
+    "southslavic": [
+        Rule(("sr",), Positive(r"[а-џ]")),
+        Rule(("sl",), And((_pos("ki", "ker", "tudi"), _neg("što")))),
+        Rule(("hr",), _pos("što", "kao", "jer")),
+        Rule(("hr", "sr", "sl")),
+    ],
+    # East Slavic: і/ї/є Ukrainian, ў Belarusian, ы/ъ/э Russian
+    "eastslavic2": [
+        Rule(("uk",), Positive(r"[їєґ]")),
+        Rule(("ru",), Positive(r"[ыъэ]")),
+        Rule(("ru", "uk")),
+    ],
+    "eastslavic": [
+        Rule(("be",), Positive(r"ў")),
+        Rule(("uk",), Positive(r"[їєґ]")),
+        Rule(("ru",), Positive(r"[ыъэ]")),
+        Rule(("ru", "uk", "be")),
+    ],
+    # Bulgarian vs Macedonian: ѓ/ќ/ѕ are Macedonian-only, ъ Bulgarian
+    "balkanslavic": [
+        Rule(("mk",), Positive(r"[ѓќѕј]")),
+        Rule(("bg",), Positive(r"[ъщ]")),
+        Rule(("bg", "mk")),
+    ],
+    "baltic": [
+        Rule(("lt",), Positive(r"[ėųį]")),
+        Rule(("lv",), Positive(r"[ņļķāē]")),
+        Rule(("lt", "lv")),
+    ],
+    "baltofinnic": [
+        Rule(("et",), Or((_pos("sest", "või", "nagu"), Positive(r"õ")))),
+        Rule(("fi",), _pos("että", "myös", "koska")),
+        Rule(("et", "fi")),
+    ],
+    # Malay vs Indonesian: kerana/bandar/anda vs karena/kota/bisa
+    "malay": [
+        Rule(("ms",), _pos("kerana", "bandar", "kerajaan", "anda")),
+        Rule(("id",), _pos("karena", "kota", "bisa", "pemerintah")),
+        Rule(("ms", "id")),
+    ],
+    "iberia": [
+        Rule(("ca",), _pos("amb", "és", "els", "perquè")),
+        Rule(("gl",), _pos("unha", "xente", "goberno")),
+        Rule(("es",), _pos("los", "más", "porque")),
+        Rule(("es", "ca", "gl")),
+    ],
+    "iberiafull": [
+        Rule(("eu",), _pos("eta", "dira", "baina", "ez")),
+        Rule(("ca",), _pos("amb", "és", "els", "perquè")),
+        Rule(("gl",), _pos("unha", "xente", "goberno")),
+        Rule(("es",), _pos("los", "más", "porque")),
+        Rule(("es", "ca", "gl", "eu")),
+    ],
+    # Galician vs Portuguese: 'non'/'unha' vs 'não'/'uma'
+    "galaico": [
+        Rule(("gl",), _pos("unha", "non", "xente")),
+        Rule(("pt",), _pos("não", "uma", "você")),
+        Rule(("gl", "pt")),
+    ],
+    # Arabic script family: Urdu-only letterforms, Persian-only letters,
+    # then Arabic function words
+    "arabicscript": [
+        Rule(("ur",), Positive(r"[ٹڈڑہے]")),
+        Rule(("fa",), Or((Positive(r"[پگچژ]"), _pos("است", "که", "را")))),
+        Rule(("ar",), _pos("في", "من", "على")),
+        Rule(("ar", "fa", "ur")),
+    ],
+    "perso": [
+        Rule(("ur",), Positive(r"[ٹڈڑہے]")),
+        Rule(("fa",), Or((Positive(r"[پگچژ]"), _pos("است", "که", "را")))),
+        Rule(("fa", "ur")),
+    ],
+    # Hindustani: same language family, different scripts
+    "hindustani": [
+        Rule(("hi",), Positive(r"[ऀ-ॿ]")),
+        Rule(("ur",), Positive(r"[؀-ۿ]")),
+        Rule(("hi", "ur")),
+    ],
+    # Hindi vs Marathi share Devanagari: function words decide
+    "devanagari": [
+        Rule(("mr",), _pos("आहे", "आणि", "मध्ये")),
+        Rule(("hi",), _pos("है", "और", "में")),
+        Rule(("hi", "mr")),
+    ],
+    # .in ccTLD: the full Indian candidate set — scripts first, then
+    # Devanagari word split, then English
+    "india8": [
+        Rule(("ta",), Positive(r"[஀-௿]")),
+        Rule(("te",), Positive(r"[ఀ-౿]")),
+        Rule(("ml",), Positive(r"[ഀ-ൿ]")),
+        Rule(("bn",), Positive(r"[ঀ-৿]")),
+        Rule(("ur",), Positive(r"[؀-ۿ]")),
+        Rule(("mr",), _pos("आहे", "आणि", "मध्ये")),
+        Rule(("hi",), Positive(r"[ऀ-ॿ]")),
+        Rule(("en",), _pos("the", "with", "they")),
+        Rule(("hi", "en")),
+    ],
+    "pakistan": [
+        Rule(("ur",), Positive(r"[؀-ۿ]")),
+        Rule(("en",), _pos("the", "with", "they")),
+        Rule(("ur", "en")),
+    ],
+    "lanka": [
+        Rule(("ta",), Positive(r"[஀-௿]")),
+        Rule(("en",), _pos("the", "with", "they")),
+        Rule(("ta", "en")),
+    ],
+    "singapore": [
+        Rule(("zh",), Positive(r"[一-鿿]")),
+        Rule(("ms",), _pos("kerana", "bandar", "yang", "dengan")),
+        Rule(("en",), _pos("the", "with", "they")),
+        Rule(("en", "zh", "ms")),
+    ],
+    # Turkish vs Azerbaijani: ə is Azerbaijani-only
+    "turkic": [
+        Rule(("az",), Positive(r"ə")),
+        Rule(("tr",), _pos("ve", "için", "çünkü")),
+        Rule(("tr", "az")),
+    ],
+    "steppe": [
+        Rule(("kk",), Positive(r"[әңғүұқөһ]")),
+        Rule(("ru",), _pos("что", "это", "потому")),
+        Rule(("kk", "ru")),
+    ],
+    # Afrikaans vs Dutch: 'n is Afrikaans-only; double negative 'nie'
+    "kaaps": [
+        Rule(("af",), Or((_pos("'n"), And((_pos("nie"), _neg("niet")))))),
+        Rule(("nl",), _pos("het", "een", "niet")),
+        Rule(("af", "nl")),
+    ],
+    "celtic": [
+        Rule(("ga",), _pos("agus", "tá", "ní", "ar")),
+        Rule(("en",), _pos("the", "with", "they")),
+        Rule(("en", "ga")),
+    ],
+    "brythonic": [
+        Rule(("cy",), _pos("mae", "gyda", "oherwydd", "yn")),
+        Rule(("en",), _pos("the", "with", "they")),
+        Rule(("en", "cy")),
+    ],
+    "levantine": [
+        Rule(("he",), Positive(r"[א-ת]")),
+        Rule(("ar",), Positive(r"[؀-ۿ]")),
+        Rule(("he", "ar")),
+    ],
+    "insular": [
+        Rule(("is",), Positive(r"[þð]")),
+        Rule(("da",), _pos("af", "ikke", "og")),
+        Rule(("is", "da")),
+    ],
+    "eastafrican": [
+        Rule(("sw",), _pos("kwa", "katika", "lakini", "ni")),
+        Rule(("en",), _pos("the", "with", "they")),
+        Rule(("sw", "en")),
+    ],
+    "philippine": [
+        Rule(("tl",), _pos("ang", "mga", "ng", "hindi")),
+        Rule(("en",), _pos("the", "with", "they")),
+        Rule(("tl", "en")),
+    ],
+    "kartvelian": [
+        Rule(("ka",), Positive(r"[ა-ჿ]")),
+        Rule(("ru",), Positive(r"[а-я]")),
+        Rule(("ka", "ru")),
+    ],
+    "transcaucasian": [
+        Rule(("hy",), Positive(r"[ա-ֆ]")),
+        Rule(("ru",), Positive(r"[а-я]")),
+        Rule(("hy", "ru")),
+    ],
+    "azeri": [
+        Rule(("az",), Or((Positive(r"ə"), _pos("və", "üçün")))),
+        Rule(("ru",), Positive(r"[а-я]")),
+        Rule(("az", "ru")),
+    ],
+})
+
 # Dispatch: exact candidate-set -> rule table. The cascade consults the
 # table for a known context and falls back to the per-language marker
 # filter otherwise (operators/cascade.py). Keying on the EXACT set
@@ -156,6 +375,40 @@ RULE_CONTEXTS: dict[frozenset[str], str] = {
     frozenset(("fi", "sv")): "finnic",
     frozenset(("hi", "en")): "india",
     frozenset(("zh", "ja", "ko")): "cjk",
+    frozenset(("da", "no")): "dano",
+    frozenset(("sv", "da", "no")): "nordic",
+    frozenset(("cs", "sk")): "czechoslovak",
+    frozenset(("hr", "sr")): "balkan",
+    frozenset(("hr", "sr", "sl")): "southslavic",
+    frozenset(("ru", "uk")): "eastslavic2",
+    frozenset(("ru", "uk", "be")): "eastslavic",
+    frozenset(("bg", "mk")): "balkanslavic",
+    frozenset(("lt", "lv")): "baltic",
+    frozenset(("et", "fi")): "baltofinnic",
+    frozenset(("ms", "id")): "malay",
+    frozenset(("es", "ca", "gl")): "iberia",
+    frozenset(("es", "ca", "gl", "eu")): "iberiafull",
+    frozenset(("gl", "pt")): "galaico",
+    frozenset(("ar", "fa", "ur")): "arabicscript",
+    frozenset(("fa", "ur")): "perso",
+    frozenset(("hi", "ur")): "hindustani",
+    frozenset(("hi", "mr")): "devanagari",
+    frozenset(("hi", "en", "ta", "te", "ml", "mr", "bn", "ur")): "india8",
+    frozenset(("ur", "en")): "pakistan",
+    frozenset(("ta", "en")): "lanka",
+    frozenset(("en", "zh", "ms")): "singapore",
+    frozenset(("tr", "az")): "turkic",
+    frozenset(("kk", "ru")): "steppe",
+    frozenset(("af", "nl")): "kaaps",
+    frozenset(("en", "ga")): "celtic",
+    frozenset(("en", "cy")): "brythonic",
+    frozenset(("he", "ar")): "levantine",
+    frozenset(("is", "da")): "insular",
+    frozenset(("sw", "en")): "eastafrican",
+    frozenset(("tl", "en")): "philippine",
+    frozenset(("ka", "ru")): "kartvelian",
+    frozenset(("hy", "ru")): "transcaucasian",
+    frozenset(("az", "ru")): "azeri",
 }
 
 for _fs, _key in RULE_CONTEXTS.items():

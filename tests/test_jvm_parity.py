@@ -174,3 +174,67 @@ def test_fixture_corpus_exercises_rule_contexts(spark):
         if frozenset(cands) in RULE_CONTEXTS:
             hit += 1
     assert hit >= 5, hit
+
+
+def test_round3_rule_contexts_parity(spark):
+    """Round-3 breadth contexts: each case must resolve at the
+    heuristics stage to the expected language, identically in the py
+    spec and the column ladder."""
+    cases = [
+        # dano: 'af' -> da, 'av' without 'af' -> no
+        ("https://s.example.com/p1", "det er og af huset", "dano", "da"),
+        ("https://s.example.com/p2", "det er av huset fra", "dano", "no"),
+        # czechoslovak
+        ("https://site1.example.sk/p3", "to je pretože sa robí aj", None, "sk"),
+        ("https://site1.example.sk/p4", "to se dělá protože ano", None, "cs"),
+        # balkan via meta: cyrillic -> sr, latin markers -> hr
+        ("https://s.example.com/p5", "ово је питање за владу", "balkan", "sr"),
+        ("https://s.example.com/p6", "to je pitanje jer kao što", "balkan", "hr"),
+        # east slavic via .ua TLD: ї -> uk, ы -> ru
+        ("https://site1.example.ua/p7", "це питання їжі та мови", None, "uk"),
+        ("https://site1.example.ua/p8", "это вопрос языка и рынка", None, "ru"),
+        # bulgarian vs macedonian via meta
+        ("https://s.example.com/p9", "въпрос за държавата и пазара", "balkanslavic", "bg"),
+        ("https://s.example.com/p10", "прашање за луѓето и јазикот", "balkanslavic", "mk"),
+        # baltic via meta: ė/ų/į -> lt, ņ/ļ/ķ -> lv
+        ("https://s.example.com/p11", "klausimas į žmonės ir kalbą", "baltic", "lt"),
+        ("https://s.example.com/p12", "jautājums par valdību un ķīmiju", "baltic", "lv"),
+        # malay vs indonesian via meta
+        ("https://s.example.com/p13", "soalan kerana kerajaan di bandar", "malay", "ms"),
+        ("https://s.example.com/p14", "pertanyaan karena pemerintah di kota", "malay", "id"),
+        # .in ccTLD full india8 context: scripts decide
+        ("https://site1.example.in/p15", "இது ஒரு கேள்வி மொழி", None, "ta"),
+        ("https://site1.example.in/p16", "ఇది ఒక ప్రశ్న భాష", None, "te"),
+        ("https://site1.example.in/p17", "ഇത് ഒരു ചോദ്യം ഭാഷ", None, "ml"),
+        ("https://site1.example.in/p18", "এটা একটি প্রশ্ন ভাষা", None, "bn"),
+        ("https://site1.example.in/p19", "आहे आणि मध्ये प्रश्न", None, "mr"),
+        ("https://site1.example.in/p20", "यह है और में प्रश्न", None, "hi"),
+        # turkic: ə -> az
+        ("https://s.example.com/p21", "bu şəhər üçün sual", "turkic", "az"),
+        ("https://s.example.com/p22", "bu şehir için soru ve cevap", "turkic", "tr"),
+        # afrikaans vs dutch: 'n decides
+        ("https://s.example.com/p23", "dit is 'n vraag oor taal", "kaaps", "af"),
+        ("https://s.example.com/p24", "dit is een vraag het niet", "kaaps", "nl"),
+        # hebrew vs arabic script split
+        ("https://s.example.com/p25", "זו שאלה על שפה ועל זמן", "levantine", "he"),
+        ("https://s.example.com/p26", "هذا سؤال في اللغة من السوق", "levantine", "ar"),
+        # iberia 3-way
+        ("https://s.example.com/p27", "és una pregunta amb els nens", "iberia", "ca"),
+        ("https://s.example.com/p28", "é unha pregunta para a xente", "iberia", "gl"),
+        ("https://s.example.com/p29", "es una pregunta porque los niños", "iberia", "es"),
+    ]
+    from hyperpolyglot_spark.operators.cascade import detect_lang_py, with_cascade
+
+    rows = [
+        {"url": u, "extracted_text": t, "meta_tag": m}
+        for u, t, m, _ in cases
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["url"]: (r["lang_pred"], r["strategy"])
+        for r in with_cascade(df, spark, text_col="extracted_text").collect()
+    }
+    for u, t, m, want_lang in cases:
+        spec = detect_lang_py(u, t, m)
+        assert got[u] == spec, (u, got[u], spec)
+        assert got[u] == (want_lang, "heuristics"), (u, got[u], want_lang)
