@@ -618,6 +618,29 @@ def neardup_incremental(spark, sf_dir):
     )
 
 
+def doc_token_nb(spark, sf_dir):
+    """The reference's ACTUAL classifier feature path (F2 tokenizer ->
+    F3 key tokens <=32B -> F4 token NB, classifier.rs:24-48), wired as
+    a selectable alternative to the char-gram production scorer:
+    train_token_spark on the corpus itself, then the same broadcast-
+    model classify UDF scoring over all languages. Oracle = frozen
+    numpy/py-spec table (tools/gen_expected.py) — the tokenizer state
+    machine is not SQL-expressible."""
+    from hyperpolyglot_spark.functions.langid import (
+        make_classify_udf,
+        train_token_spark,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_token_spark(docs)
+    clf = make_classify_udf(spark, model)
+    return docs.select(
+        "doc_id",
+        "lang",
+        clf(F.col("text"), F.array().cast("array<string>")).alias("lang_pred"),
+    )
+
+
 def neardup_incremental_indexed(spark, sf_dir):
     """The PERSISTED-INDEX form of incremental dedup (the continuous-
     crawl scale path, VERDICT r2 #2): the 'existing corpus' is signed
@@ -924,6 +947,23 @@ def embedding_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, C, _query_vec(spark, sf_dir, 7), k=10, n_probe=4)
 
 
+def embedding_knn_blocked(spark, sf_dir):
+    """The PRODUCTION form of the KNN self-join: multi-probe IVF cell
+    blocking (assign_cells_multi) makes the join candidates-only —
+    never all-pairs. Oracled against a frozen numpy replication of the
+    same blocking (tools/gen_expected.py), so the driver gate covers
+    the blocked plan itself, not just the quadratic baseline."""
+    from hyperpolyglot_spark.operators.similarity import (
+        assign_cells_multi,
+        knn_join,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = ivf_centroids(emb, n_cells=8)
+    blocked = assign_cells_multi(emb, C, n_probe=3)
+    return knn_join(blocked, k=3, block_col="cell")
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -969,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_minhash_pairs": neardup_minhash_pairs,
         "neardup_incremental": neardup_incremental,
         "neardup_incremental_indexed": neardup_incremental_indexed,
+        "doc_token_nb": doc_token_nb,
         "neardup_simhash_pairs": neardup_simhash_pairs,
         "classifier_training_agg": classifier_training_agg,
         "doc_perplexity": doc_perplexity,
@@ -984,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_centroids": embedding_label_centroids,
         "embedding_knn": embedding_knn,
         "embedding_ann_ivf": embedding_ann_ivf,
+        "embedding_knn_blocked": embedding_knn_blocked,
     }
 
 
@@ -1556,6 +1598,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": """
             SELECT doc_id, pos, kind, token
             FROM read_parquet('/root/repo/data/expected_sf0.01/doc_tokens.parquet')
+        """,
+        "embedding_knn_blocked": """
+            SELECT vec_id, neighbor_id, cosine, rk
+            FROM read_parquet('/root/repo/data/expected_sf0.01/embedding_knn_blocked.parquet')
+        """,
+        "doc_token_nb": """
+            SELECT doc_id, lang, lang_pred
+            FROM read_parquet('/root/repo/data/expected_sf0.01/doc_token_nb.parquet')
         """,
         "embedding_knn": """
             SELECT vec_id, neighbor_id, cosine, rk FROM (

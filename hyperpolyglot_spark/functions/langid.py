@@ -175,11 +175,14 @@ def classify_any(
     text: str, candidates: list[str] | None, model=None
 ) -> str:
     """Dispatch on model representation: None -> the default HASHED
-    model (the production scorer — bounded broadcast size); dict-of-
-    dicts -> the explicit-vocabulary NB scorer; HashedModel -> hashed.
-    Identical candidate/tie-break semantics either way."""
+    model (the production scorer — bounded broadcast size); TokenModel
+    -> the tokenizer-feature NB (the reference's F2->F4 path); dict-of-
+    dicts -> the explicit-vocabulary char-gram NB; HashedModel ->
+    hashed. Identical candidate/tie-break semantics in every case."""
     if model is None:
         return classify_hashed_py(text, candidates, default_hashed_model())
+    if isinstance(model, TokenModel):
+        return classify_tokens_py(text, candidates, model)
     first = next(iter(model.values()), None)
     if isinstance(first, dict):
         return classify_py(text, candidates, model)
@@ -438,6 +441,99 @@ def classify_hashed_py(
             score = 0.0
         else:
             score = float(vec[idx] @ cnts)
+        if first or score > best_score:
+            best_lang, best_score, first = lang, score, False
+    return best_lang
+
+
+# ----------------------------------------------------------------------
+# token naive-Bayes: the reference's ACTUAL feature path (F2 tokenizer
+# -> F3 get_key_tokens <=32B -> F4 NB scorer, src/detectors/
+# classifier.rs:24-48) wired to the same train/score machinery. The
+# production cascade defaults to char-grams (documented north-star
+# choice); this closes the last semantic gap as a selectable option.
+# ----------------------------------------------------------------------
+
+class TokenModel(dict):
+    """Marker type: lang -> token -> logp trained on classifier tokens
+    (idents+symbols, <=32 UTF-8 bytes). Distinguishes the token model
+    from the char-gram dict model in classify_any dispatch."""
+
+
+def text_tokens(text: str) -> list[str]:
+    """F2 -> F3 on the capped text: tokenize, keep idents+symbols,
+    drop tokens over 32 UTF-8 bytes (classifier.rs:24-26)."""
+    from .tokenizer import get_classifier_tokens
+
+    return get_classifier_tokens(text[:MAX_SCORE_CHARS])
+
+
+def train_token_py(corpus: list[tuple[str, str]]) -> TokenModel:
+    """classifier.rs/codegen.rs:357-428 trainer over token features."""
+    model = TokenModel()
+    for lang in sorted({l for l, _ in corpus}):
+        counts: Counter[str] = Counter()
+        for l, text in corpus:
+            if l == lang:
+                counts.update(text_tokens(text))
+        total = sum(counts.values())
+        model[lang] = {t: math.log(c / total) for t, c in counts.items()}
+    return model
+
+
+def _tokens_arr_udf():
+    """Arrow-batched (text) -> array<string> of classifier tokens. The
+    lexer is a stateful char machine — genuinely not expressible with
+    built-ins, the documented Pandas-UDF case."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tokens_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([text_tokens(t or "") for t in texts])
+
+    return tokens_udf
+
+
+def train_token_spark(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> TokenModel:
+    """Spark trainer: ONE tokenizer UDF pass -> explode -> two-level
+    hash agg -> log(cnt/total). Exact train_token_py parity
+    (tests/test_token_nb.py)."""
+    toks = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_tokens_arr_udf()(F.col(text_col))).alias("tok"),
+    )
+    counted = toks.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    scored = counted.withColumn(
+        "logp", F.log(F.col("cnt") / F.sum("cnt").over(w))
+    )
+    model = TokenModel()
+    for row in scored.collect():  # model table is dim-sized
+        model.setdefault(row["lang"], {})[row["tok"]] = row["logp"]
+    return model
+
+
+def classify_tokens_py(
+    text: str, candidates: list[str] | None, model: TokenModel
+) -> str:
+    """classifier.rs:18-49 semantics over token features: same missing-
+    token DEFAULT_LOG_PROB, same -inf for unknown langs, same stable
+    earlier-candidate tie-break as classify_py."""
+    cands = list(candidates) if candidates else list(LANGUAGES)
+    tok_counts = Counter(text_tokens(text))
+    best_lang, best_score = cands[0], float("-inf")
+    first = True
+    for lang in cands:
+        lp = model.get(lang)
+        if lp is None:
+            score = float("-inf")
+        else:
+            score = sum(
+                n * lp.get(t, DEFAULT_LOG_PROB) for t, n in tok_counts.items()
+            )
         if first or score > best_score:
             best_lang, best_score, first = lang, score, False
     return best_lang

@@ -113,6 +113,68 @@ def expected_ivf_topk() -> pd.DataFrame:
     )
 
 
+def expected_token_nb() -> pd.DataFrame:
+    """train_token_py on the corpus itself + classify_tokens_py over
+    all languages — the frozen spec for the F2->F4 token-NB query."""
+    from hyperpolyglot_spark.functions.langid import (
+        classify_tokens_py,
+        train_token_py,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    model = train_token_py([(r[1], r[2]) for r in rows])
+    out = [(r[0], r[1], classify_tokens_py(r[2], [], model)) for r in rows]
+    return pd.DataFrame(out, columns=["doc_id", "lang", "lang_pred"]).astype(
+        {"doc_id": "int64"}
+    )
+
+
+def expected_knn_blocked() -> pd.DataFrame:
+    """numpy replication of the multi-probe IVF-blocked KNN self-join:
+    centroids = ivf_centroids(n_cells=8, 1 refinement pass), every
+    vector assigned to its 3 nearest cells, candidate pairs share >= 1
+    cell, exact cosine on candidates, top-3 per vector with ties broken
+    on neighbor id AFTER rounding to 6 (matching knn_join's order by
+    round(cosine,6) desc, neighbor_id)."""
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+
+    def normalize(M):
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    n_cells, n_probe, k = 8, 3, 3
+    C = V[np.argsort(ids)[:n_cells]].copy()
+    cells1 = np.argmax(normalize(V) @ normalize(C).T, axis=1)
+    C2 = C.copy()
+    for c in range(n_cells):
+        members = V[cells1 == c]
+        if len(members):
+            C2[c] = members.mean(axis=0)
+    sims_to_c = normalize(V) @ normalize(C2).T
+    probes = np.argsort(-sims_to_c, axis=1)[:, :n_probe]  # (n, 3)
+
+    Vn = normalize(V)
+    S = np.round(Vn @ Vn.T, 6)
+    out = []
+    for i in range(len(ids)):
+        shared = (probes[:, None, :] == probes[i][None, :, None]).any(
+            axis=(1, 2)
+        )
+        shared[i] = False
+        cand = np.where(shared)[0]
+        order = cand[np.lexsort((ids[cand], -S[i, cand]))][:k]
+        for rk, j in enumerate(order, 1):
+            out.append((int(ids[i]), int(ids[j]), float(S[i, j]), rk))
+    return pd.DataFrame(
+        out, columns=["vec_id", "neighbor_id", "cosine", "rk"]
+    ).astype({"vec_id": "int64", "neighbor_id": "int64", "rk": "int32"})
+
+
 def expected_doc_tokens() -> pd.DataFrame:
     """Pure-python tokenizer over the doc_id<50 slice — the oracle for
     the UDTF query."""
@@ -162,6 +224,8 @@ def main():
         "neardup_simhash_pairs": expected_simhash_pairs(),
         "langid_predict_documents": expected_langid_predictions(),
         "embedding_ann_ivf": expected_ivf_topk(),
+        "embedding_knn_blocked": expected_knn_blocked(),
+        "doc_token_nb": expected_token_nb(),
         "doc_tokens": expected_doc_tokens(),
     }
     for name, pdf in tables.items():
@@ -182,6 +246,8 @@ def main():
         tables["embedding_ann_ivf"],
         round_cols={"cosine_raw": "cosine"},
     )
+    crosscheck(spark, "embedding_knn_blocked", tables["embedding_knn_blocked"])
+    crosscheck(spark, "doc_token_nb", tables["doc_token_nb"])
     crosscheck(spark, "doc_tokens", tables["doc_tokens"])
     print("all frozen expected tables cross-checked OK")
 
