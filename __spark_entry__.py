@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hyperpolyglot_spark.functions.langid import HASH_BUCKETS
 from hyperpolyglot_spark.functions.textstats import (
     bpe_ish_token_count_col,
     distinct_token_ratio_col,
@@ -735,6 +736,7 @@ def docs_keep_drop(spark, sf_dir):
         F.round("symbol_ratio", 6).alias("symbol_ratio"),
         F.round("rep3_ratio", 6).alias("rep3_ratio"),
         F.round("stop_density", 6).alias("stop_density"),
+        F.round("spaceless_ratio", 6).alias("spaceless_ratio"),
         "keep",
         "drop_rule",
     )
@@ -1057,10 +1059,20 @@ def _script_mix_sql() -> str:
 
 def _keep_drop_sql() -> str:
     """DuckDB form of the quality signals + rule ladder, generated from
-    the SAME dims (symbol class, stopword set, RULES table) the Spark
-    side uses — one source of truth, two engines."""
+    the SAME dims (symbol class, spaceless class, stopword set, RULES
+    table) the Spark side uses — one source of truth, two engines. A
+    NULL gated signal never fires its rule (CASE WHEN NULL falls
+    through), matching the py spec and column ladder."""
     from hyperpolyglot_spark.functions.langdata import ALL_STOPWORDS
-    from hyperpolyglot_spark.functions.quality import RULES, _SYMBOL_CLASS
+    from hyperpolyglot_spark.functions.quality import (
+        _HANGUL_PARTICLE_RE_S,
+        _REP_CHAR_CAP,
+        _REP_CHAR_N,
+        _SPACELESS_CLASS,
+        _SYMBOL_CLASS,
+        RULES,
+        SPACELESS_THRESHOLD,
+    )
 
     # SQL-escape: the Afrikaans stopword 'n carries an apostrophe
     stops = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ALL_STOPWORDS))
@@ -1072,7 +1084,7 @@ def _keep_drop_sql() -> str:
         ladder += f" WHEN {signal} {op} {thr} THEN '{rule_id}'"
     ladder += " ELSE NULL END"
     return f"""
-        WITH sig AS (
+        WITH sig0 AS (
           SELECT doc_id,
                  length(text) AS n_chars,
                  len(w) AS n_words,
@@ -1083,9 +1095,31 @@ def _keep_drop_sql() -> str:
                                                     for i in range(1, len(w) - 1)]))::DOUBLE
                                  / (len(w) - 2)
                       ELSE 0.0 END AS rep3_ratio,
-                 len(list_filter(w, x -> list_contains([{stops}], lower(x))))::DOUBLE
-                   / greatest(len(w), 1) AS stop_density
+                 len(list_filter(w, x -> list_contains([{stops}], lower(x))
+                                          OR regexp_matches(x, '{_HANGUL_PARTICLE_RE_S}')))::DOUBLE
+                   / greatest(len(w), 1) AS stop_density,
+                 (length(text) - length(regexp_replace(text, '{_SPACELESS_CLASS}', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS spaceless_ratio,
+                 substring(text, 1, {_REP_CHAR_CAP}) AS tc
           FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)
+        ), sig AS (
+          SELECT *,
+                 spaceless_ratio > {SPACELESS_THRESHOLD} AS is_spaceless,
+                 CASE WHEN spaceless_ratio > {SPACELESS_THRESHOLD} THEN NULL
+                      ELSE n_chars::DOUBLE END AS n_chars_gated,
+                 CASE WHEN spaceless_ratio > {SPACELESS_THRESHOLD}
+                      THEN n_chars::DOUBLE ELSE NULL END AS n_chars_spaceless_gated,
+                 CASE WHEN spaceless_ratio > {SPACELESS_THRESHOLD} THEN NULL
+                      ELSE rep3_ratio END AS rep3_gated,
+                 CASE WHEN spaceless_ratio <= {SPACELESS_THRESHOLD} THEN NULL
+                      WHEN length(tc) >= {_REP_CHAR_N}
+                      THEN 1.0 - len(list_distinct([substring(tc, i, {_REP_CHAR_N})
+                                    for i in range(1, length(tc) - {_REP_CHAR_N - 1})]))::DOUBLE
+                                 / (length(tc) - {_REP_CHAR_N - 1})
+                      ELSE 0.0 END AS rep_char_gated,
+                 CASE WHEN spaceless_ratio > {SPACELESS_THRESHOLD} THEN NULL
+                      ELSE stop_density END AS stop_density_gated
+          FROM sig0
         )
         SELECT doc_id,
                n_chars::BIGINT AS n_chars,
@@ -1093,6 +1127,7 @@ def _keep_drop_sql() -> str:
                round(symbol_ratio, 6) AS symbol_ratio,
                round(rep3_ratio, 6) AS rep3_ratio,
                round(stop_density, 6) AS stop_density,
+               round(spaceless_ratio, 6) AS spaceless_ratio,
                ({ladder}) IS NULL AS keep,
                {ladder} AS drop_rule
         FROM sig
@@ -1516,7 +1551,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE regexp_matches(text, '(^| )(market|value)( |$)'))
             GROUP BY strategy, lang
         """,
-        "hashed_gram_buckets": """
+        "hashed_gram_buckets": f"""
             WITH grams AS (
               SELECT lang, substring(t, i, 3) AS gram
               FROM (SELECT lang, lower(substring(text, 1, 2000)) AS t
@@ -1526,7 +1561,7 @@ def oracle_sql() -> dict[str, str]:
             ), counted AS (
               SELECT lang,
                      (('0x' || substr(md5(gram), 1, 15))::UBIGINT
-                      % 4096)::BIGINT AS bucket,
+                      % {HASH_BUCKETS})::BIGINT AS bucket,
                      count(*) AS cnt
               FROM grams GROUP BY 1, 2
             )

@@ -28,6 +28,7 @@ import pandas as pd
 
 from ..functions.extract import extract_text
 from ..functions.langdata import LANGUAGES, STOPWORDS, WORDS
+from ..functions.langid import _lang_sep
 
 # Host TLDs correlate with language (like the real web): unique-mapping
 # TLDs, ambiguous multi-candidate TLDs, and neutral gTLDs. Host index is
@@ -228,8 +229,12 @@ def gen_page(row_id: int, seed: int = 42) -> dict:
     else:
         lang_attr = ""
 
+    # space-less scripts (zh/ja/th) join without separators, like real
+    # web text — the quality rules are script-aware (quality.py
+    # _SPACELESS_CLASS) and the LMs train on the same convention
+    sep = _lang_sep(lang)
     paragraphs = "".join(
-        f"<p>{' '.join(body_words[i:i + 40])}</p>"
+        f"<p>{sep.join(body_words[i:i + 40])}</p>"
         for i in range(0, len(body_words), 40)
     )
 

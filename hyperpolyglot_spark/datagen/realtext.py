@@ -1,0 +1,462 @@
+"""Real-prose fixture corpus (the reference ``samples/`` analog).
+
+The reference trains and golden-tests on 2,317 real files; the synthetic
+word-pool corpus cannot measure how the models TRANSFER to natural text
+(VERDICT r2 'what's missing' #3). This module checks in three short
+original passages of natural prose per language — written for this repo,
+no external source, public domain by construction — used by
+tests/test_realtext.py to measure NB / hashed-NB / perplexity behavior
+on text whose word order, inflection, and punctuation the synthetic
+generator never produces. Accuracy numbers are reported in BASELINE.md.
+
+Passages are everyday prose (weather, a market, an evening at home) so
+vocabulary overlaps only partially with the training pools — that
+partial overlap is the point of the transfer measurement.
+"""
+
+REAL_TEXT: dict[str, tuple[str, ...]] = {
+    "en": (
+        "The rain started early in the morning and did not stop until "
+        "late in the evening, so the children stayed inside and read "
+        "their books by the window while the water ran down the glass.",
+        "Every Saturday the old market in the middle of the city fills "
+        "with people who come to buy bread, fish and vegetables, and "
+        "the sellers call out their prices from behind wooden tables.",
+        "Science does not give us final answers; it gives us better "
+        "questions, and the history of every discovery shows how long "
+        "a good question can wait for the person who takes it seriously.",
+    ),
+    "de": (
+        "Der Regen begann früh am Morgen und hörte erst am späten Abend "
+        "auf, deshalb blieben die Kinder im Haus und lasen ihre Bücher "
+        "am Fenster, während das Wasser über das Glas lief.",
+        "Jeden Samstag füllt sich der alte Markt in der Mitte der Stadt "
+        "mit Menschen, die Brot, Fisch und Gemüse kaufen wollen, und "
+        "die Händler rufen ihre Preise hinter den Holztischen hervor.",
+        "Die Wissenschaft gibt uns keine endgültigen Antworten, sondern "
+        "bessere Fragen, und die Geschichte jeder Entdeckung zeigt, wie "
+        "lange eine gute Frage auf den richtigen Menschen warten kann.",
+    ),
+    "fr": (
+        "La pluie a commencé tôt le matin et ne s'est arrêtée que tard "
+        "le soir, alors les enfants sont restés dans la maison et ont "
+        "lu leurs livres près de la fenêtre pendant que l'eau coulait.",
+        "Chaque samedi, le vieux marché au milieu de la ville se "
+        "remplit de gens qui viennent acheter du pain, du poisson et "
+        "des légumes, et les vendeurs crient leurs prix derrière les "
+        "tables en bois.",
+        "La science ne nous donne pas de réponses définitives ; elle "
+        "nous donne de meilleures questions, et l'histoire de chaque "
+        "découverte montre combien de temps une bonne question peut "
+        "attendre la personne qui la prend au sérieux.",
+    ),
+    "es": (
+        "La lluvia empezó temprano por la mañana y no paró hasta bien "
+        "entrada la noche, así que los niños se quedaron en casa y "
+        "leyeron sus libros junto a la ventana mientras el agua corría "
+        "por el cristal.",
+        "Cada sábado el viejo mercado en el centro de la ciudad se "
+        "llena de gente que viene a comprar pan, pescado y verduras, y "
+        "los vendedores gritan sus precios detrás de las mesas de "
+        "madera.",
+        "La ciencia no nos da respuestas definitivas; nos da mejores "
+        "preguntas, y la historia de cada descubrimiento muestra cuánto "
+        "tiempo puede esperar una buena pregunta a la persona que la "
+        "toma en serio.",
+    ),
+    "it": (
+        "La pioggia è cominciata presto la mattina e non si è fermata "
+        "fino a tarda sera, così i bambini sono rimasti in casa e hanno "
+        "letto i loro libri vicino alla finestra mentre l'acqua "
+        "scorreva sul vetro.",
+        "Ogni sabato il vecchio mercato nel centro della città si "
+        "riempie di gente che viene a comprare pane, pesce e verdura, e "
+        "i venditori gridano i loro prezzi dietro i tavoli di legno.",
+        "La scienza non ci dà risposte definitive; ci dà domande "
+        "migliori, e la storia di ogni scoperta mostra quanto a lungo "
+        "una buona domanda può aspettare la persona che la prende sul "
+        "serio.",
+    ),
+    "pt": (
+        "A chuva começou cedo pela manhã e não parou até tarde da "
+        "noite, por isso as crianças ficaram em casa e leram os seus "
+        "livros junto à janela enquanto a água corria pelo vidro.",
+        "Todos os sábados o velho mercado no centro da cidade enche-se "
+        "de pessoas que vêm comprar pão, peixe e legumes, e os "
+        "vendedores gritam os preços atrás das mesas de madeira.",
+        "A ciência não nos dá respostas definitivas; dá-nos perguntas "
+        "melhores, e a história de cada descoberta mostra quanto tempo "
+        "uma boa pergunta pode esperar pela pessoa que a leva a sério.",
+    ),
+    "nl": (
+        "De regen begon vroeg in de ochtend en hield pas laat in de "
+        "avond op, dus bleven de kinderen binnen en lazen hun boeken "
+        "bij het raam terwijl het water langs het glas liep.",
+        "Elke zaterdag vult de oude markt in het midden van de stad "
+        "zich met mensen die brood, vis en groente komen kopen, en de "
+        "verkopers roepen hun prijzen achter de houten tafels.",
+        "De wetenschap geeft ons geen definitieve antwoorden; ze geeft "
+        "ons betere vragen, en de geschiedenis van elke ontdekking "
+        "laat zien hoe lang een goede vraag kan wachten op de mens die "
+        "haar serieus neemt.",
+    ),
+    "sv": (
+        "Regnet började tidigt på morgonen och slutade inte förrän "
+        "sent på kvällen, så barnen stannade inne och läste sina "
+        "böcker vid fönstret medan vattnet rann nerför glaset.",
+        "Varje lördag fylls den gamla marknaden mitt i staden av "
+        "människor som kommer för att köpa bröd, fisk och grönsaker, "
+        "och försäljarna ropar ut sina priser bakom träborden.",
+        "Vetenskapen ger oss inga slutgiltiga svar; den ger oss bättre "
+        "frågor, och historien om varje upptäckt visar hur länge en "
+        "bra fråga kan vänta på den människa som tar den på allvar.",
+    ),
+    "da": (
+        "Regnen begyndte tidligt om morgenen og holdt først op sent om "
+        "aftenen, så børnene blev inde og læste deres bøger ved "
+        "vinduet, mens vandet løb ned ad glasset.",
+        "Hver lørdag fyldes det gamle marked midt i byen af mennesker, "
+        "der kommer for at købe brød, fisk og grøntsager, og sælgerne "
+        "råber deres priser bag træbordene.",
+        "Videnskaben giver os ikke endelige svar; den giver os bedre "
+        "spørgsmål, og historien om enhver opdagelse viser, hvor længe "
+        "et godt spørgsmål kan vente på det menneske, der tager det "
+        "alvorligt.",
+    ),
+    "fi": (
+        "Sade alkoi aikaisin aamulla eikä lakannut ennen myöhäistä "
+        "iltaa, joten lapset pysyivät sisällä ja lukivat kirjojaan "
+        "ikkunan ääressä, kun vesi valui pitkin lasia.",
+        "Joka lauantai kaupungin keskellä oleva vanha tori täyttyy "
+        "ihmisistä, jotka tulevat ostamaan leipää, kalaa ja "
+        "vihanneksia, ja myyjät huutavat hintojaan puupöytien takaa.",
+        "Tiede ei anna meille lopullisia vastauksia; se antaa parempia "
+        "kysymyksiä, ja jokaisen keksinnön historia näyttää, kuinka "
+        "kauan hyvä kysymys voi odottaa ihmistä, joka ottaa sen "
+        "vakavasti.",
+    ),
+    "pl": (
+        "Deszcz zaczął padać wcześnie rano i nie przestał aż do "
+        "późnego wieczora, więc dzieci zostały w domu i czytały swoje "
+        "książki przy oknie, podczas gdy woda spływała po szybie.",
+        "W każdą sobotę stary rynek w środku miasta wypełnia się "
+        "ludźmi, którzy przychodzą kupić chleb, ryby i warzywa, a "
+        "sprzedawcy wykrzykują ceny zza drewnianych stołów.",
+        "Nauka nie daje nam ostatecznych odpowiedzi; daje nam lepsze "
+        "pytania, a historia każdego odkrycia pokazuje, jak długo "
+        "dobre pytanie może czekać na człowieka, który potraktuje je "
+        "poważnie.",
+    ),
+    "cs": (
+        "Déšť začal brzy ráno a přestal až pozdě večer, takže děti "
+        "zůstaly doma a četly si knihy u okna, zatímco voda stékala po "
+        "skle.",
+        "Každou sobotu se starý trh uprostřed města naplní lidmi, "
+        "kteří přicházejí koupit chléb, ryby a zeleninu, a prodavači "
+        "vyvolávají ceny zpoza dřevěných stolů.",
+        "Věda nám nedává konečné odpovědi; dává nám lepší otázky a "
+        "historie každého objevu ukazuje, jak dlouho může dobrá otázka "
+        "čekat na člověka, který ji vezme vážně.",
+    ),
+    "ro": (
+        "Ploaia a început devreme dimineața și nu s-a oprit până "
+        "târziu seara, așa că copiii au rămas în casă și și-au citit "
+        "cărțile lângă fereastră în timp ce apa curgea pe geam.",
+        "În fiecare sâmbătă piața veche din mijlocul orașului se umple "
+        "de oameni care vin să cumpere pâine, pește și legume, iar "
+        "vânzătorii își strigă prețurile din spatele meselor de lemn.",
+        "Știința nu ne dă răspunsuri definitive; ne dă întrebări mai "
+        "bune, iar istoria fiecărei descoperiri arată cât de mult poate "
+        "aștepta o întrebare bună omul care o ia în serios.",
+    ),
+    "hu": (
+        "Az eső kora reggel kezdett esni és csak késő este állt el, "
+        "ezért a gyerekek bent maradtak és az ablaknál olvasták a "
+        "könyveiket, miközben a víz végigfolyt az üvegen.",
+        "Minden szombaton a város közepén lévő régi piac megtelik "
+        "emberekkel, akik kenyeret, halat és zöldséget jönnek venni, "
+        "az árusok pedig a faasztalok mögül kiabálják az áraikat.",
+        "A tudomány nem ad végleges válaszokat; jobb kérdéseket ad, és "
+        "minden felfedezés története megmutatja, meddig várhat egy jó "
+        "kérdés arra az emberre, aki komolyan veszi.",
+    ),
+    "tr": (
+        "Yağmur sabah erkenden başladı ve akşam geç saatlere kadar "
+        "durmadı, bu yüzden çocuklar içeride kaldı ve su camdan "
+        "akarken pencerenin yanında kitaplarını okudular.",
+        "Her cumartesi şehrin ortasındaki eski pazar ekmek, balık ve "
+        "sebze almaya gelen insanlarla dolar ve satıcılar tahta "
+        "masaların arkasından fiyatlarını bağırırlar.",
+        "Bilim bize kesin cevaplar vermez; daha iyi sorular verir ve "
+        "her keşfin tarihi, iyi bir sorunun onu ciddiye alan insanı ne "
+        "kadar bekleyebileceğini gösterir.",
+    ),
+    "ru": (
+        "Дождь начался рано утром и не прекращался до позднего "
+        "вечера, поэтому дети остались дома и читали свои книги у "
+        "окна, пока вода стекала по стеклу.",
+        "Каждую субботу старый рынок в середине города наполняется "
+        "людьми, которые приходят купить хлеб, рыбу и овощи, а "
+        "продавцы выкрикивают цены из-за деревянных столов.",
+        "Наука не даёт нам окончательных ответов; она даёт лучшие "
+        "вопросы, и история каждого открытия показывает, как долго "
+        "хороший вопрос может ждать человека, который примет его "
+        "всерьёз.",
+    ),
+    "el": (
+        "Η βροχή άρχισε νωρίς το πρωί και δεν σταμάτησε παρά αργά το "
+        "βράδυ, έτσι τα παιδιά έμειναν μέσα και διάβαζαν τα βιβλία "
+        "τους δίπλα στο παράθυρο ενώ το νερό κυλούσε στο τζάμι.",
+        "Κάθε Σάββατο η παλιά αγορά στη μέση της πόλης γεμίζει με "
+        "ανθρώπους που έρχονται να αγοράσουν ψωμί, ψάρι και λαχανικά, "
+        "και οι πωλητές φωνάζουν τις τιμές πίσω από τα ξύλινα τραπέζια.",
+        "Η επιστήμη δεν μας δίνει οριστικές απαντήσεις· μας δίνει "
+        "καλύτερες ερωτήσεις, και η ιστορία κάθε ανακάλυψης δείχνει "
+        "πόσο καιρό μπορεί να περιμένει μια καλή ερώτηση τον άνθρωπο "
+        "που θα την πάρει στα σοβαρά.",
+    ),
+    "zh": (
+        "雨从清晨开始下，一直到深夜才停，所以孩子们留在家里，"
+        "坐在窗边读书，看着水沿着玻璃流下来。",
+        "每个星期六，城市中间的老市场都挤满了来买面包、鱼和蔬菜的人，"
+        "卖家在木桌后面大声喊着他们的价格。",
+        "科学不会给我们最终的答案，它给我们更好的问题，而每一次发现的"
+        "历史都表明，一个好问题可以等待认真对待它的人很久。",
+    ),
+    "ja": (
+        "雨は朝早くから降り始め、夜遅くまでやまなかったので、"
+        "子供たちは家の中に残り、水がガラスを流れるのを見ながら"
+        "窓のそばで本を読んだ。",
+        "毎週土曜日、町の真ん中にある古い市場は、パンや魚や野菜を"
+        "買いに来る人々でいっぱいになり、売り手は木のテーブルの"
+        "後ろから値段を叫ぶ。",
+        "科学は最終的な答えを与えてくれない。より良い問いを与えて"
+        "くれるのであり、あらゆる発見の歴史は、良い問いがそれを"
+        "真剣に受け止める人をどれほど長く待てるかを示している。",
+    ),
+    "ko": (
+        "비는 아침 일찍부터 내리기 시작해서 밤 늦게까지 그치지 "
+        "않았고, 아이들은 집 안에 남아 물이 유리를 타고 흐르는 것을 "
+        "보며 창가에서 책을 읽었다.",
+        "토요일마다 도시 한가운데 있는 오래된 시장은 빵과 생선과 "
+        "채소를 사러 오는 사람들로 가득 차고, 상인들은 나무 탁자 "
+        "뒤에서 가격을 외친다.",
+        "과학은 우리에게 최종적인 답을 주지 않는다. 더 나은 질문을 "
+        "주며, 모든 발견의 역사는 좋은 질문이 그것을 진지하게 "
+        "받아들이는 사람을 얼마나 오래 기다릴 수 있는지 보여 준다.",
+    ),
+    "ar": (
+        "بدأ المطر في الصباح الباكر ولم يتوقف حتى وقت متأخر من "
+        "المساء، فبقي الأطفال في البيت وقرأوا كتبهم بجانب النافذة "
+        "بينما كان الماء يسيل على الزجاج.",
+        "في كل يوم سبت يمتلئ السوق القديم في وسط المدينة بالناس "
+        "الذين يأتون لشراء الخبز والسمك والخضار، وينادي الباعة "
+        "بأسعارهم من خلف الطاولات الخشبية.",
+        "العلم لا يعطينا إجابات نهائية؛ بل يعطينا أسئلة أفضل، وتاريخ "
+        "كل اكتشاف يبين كم يمكن لسؤال جيد أن ينتظر الإنسان الذي "
+        "يأخذه على محمل الجد.",
+    ),
+    "hi": (
+        "बारिश सुबह जल्दी शुरू हुई और देर रात तक नहीं रुकी, इसलिए "
+        "बच्चे घर के अंदर रहे और खिड़की के पास अपनी किताबें पढ़ते "
+        "रहे, जबकि पानी कांच पर बहता रहा।",
+        "हर शनिवार शहर के बीच का पुराना बाजार उन लोगों से भर जाता है "
+        "जो रोटी, मछली और सब्जियां खरीदने आते हैं, और विक्रेता लकड़ी "
+        "की मेजों के पीछे से अपने दाम पुकारते हैं।",
+        "विज्ञान हमें अंतिम उत्तर नहीं देता; वह बेहतर प्रश्न देता है, "
+        "और हर खोज का इतिहास दिखाता है कि एक अच्छा प्रश्न उस व्यक्ति "
+        "की कितनी प्रतीक्षा कर सकता है जो उसे गंभीरता से लेता है।",
+    ),
+    "id": (
+        "Hujan mulai turun pagi-pagi sekali dan tidak berhenti sampai "
+        "larut malam, jadi anak-anak tetap di dalam rumah dan membaca "
+        "buku mereka di dekat jendela sementara air mengalir di kaca.",
+        "Setiap hari Sabtu pasar tua di tengah kota penuh dengan orang "
+        "yang datang membeli roti, ikan, dan sayuran, dan para penjual "
+        "meneriakkan harga dari belakang meja kayu.",
+        "Ilmu pengetahuan tidak memberi kita jawaban akhir; ia memberi "
+        "kita pertanyaan yang lebih baik, dan sejarah setiap penemuan "
+        "menunjukkan berapa lama sebuah pertanyaan yang baik dapat "
+        "menunggu orang yang menganggapnya serius.",
+    ),
+    "vi": (
+        "Cơn mưa bắt đầu từ sáng sớm và không ngừng cho đến tận khuya, "
+        "vì vậy bọn trẻ ở trong nhà và đọc sách bên cửa sổ trong khi "
+        "nước chảy dọc theo tấm kính.",
+        "Mỗi thứ bảy, khu chợ cũ ở giữa thành phố lại đầy những người "
+        "đến mua bánh mì, cá và rau, và những người bán hàng rao giá "
+        "từ phía sau những chiếc bàn gỗ.",
+        "Khoa học không cho chúng ta câu trả lời cuối cùng; nó cho "
+        "chúng ta những câu hỏi tốt hơn, và lịch sử của mỗi khám phá "
+        "cho thấy một câu hỏi hay có thể chờ đợi người coi trọng nó "
+        "bao lâu.",
+    ),
+    # --- round-3 breadth subset -------------------------------------
+    "no": (
+        "Regnet begynte tidlig om morgenen og sluttet ikke før sent på "
+        "kvelden, så barna ble inne og leste bøkene sine ved vinduet "
+        "mens vannet rant nedover glasset.",
+        "Hver lørdag fylles det gamle markedet midt i byen av "
+        "mennesker som kommer for å kjøpe brød, fisk og grønnsaker, og "
+        "selgerne roper ut prisene sine bak trebordene.",
+        "Vitenskapen gir oss ikke endelige svar; den gir oss bedre "
+        "spørsmål, og historien om hver oppdagelse viser hvor lenge et "
+        "godt spørsmål kan vente på mennesket som tar det på alvor.",
+    ),
+    "uk": (
+        "Дощ почався рано вранці і не вщухав до пізнього вечора, тому "
+        "діти залишилися вдома й читали свої книжки біля вікна, поки "
+        "вода стікала по склу.",
+        "Щосуботи старий ринок посеред міста наповнюється людьми, які "
+        "приходять купити хліб, рибу та овочі, а продавці вигукують "
+        "ціни з-за дерев'яних столів.",
+        "Наука не дає нам остаточних відповідей; вона дає кращі "
+        "питання, й історія кожного відкриття показує, як довго добре "
+        "питання може чекати на людину, яка сприйме його серйозно.",
+    ),
+    "ca": (
+        "La pluja va començar aviat al matí i no va parar fins ben "
+        "entrada la nit, així que els nens es van quedar a casa i van "
+        "llegir els seus llibres vora la finestra mentre l'aigua "
+        "corria pel vidre.",
+        "Cada dissabte el vell mercat al mig de la ciutat s'omple de "
+        "gent que ve a comprar pa, peix i verdures, i els venedors "
+        "criden els preus darrere les taules de fusta.",
+        "La ciència no ens dóna respostes definitives; ens dóna "
+        "preguntes millors, i la història de cada descobriment mostra "
+        "quant de temps pot esperar una bona pregunta la persona que "
+        "se la pren seriosament.",
+    ),
+    "gl": (
+        "A chuvia comezou cedo pola mañá e non parou ata tarde pola "
+        "noite, así que os nenos quedaron na casa e leron os seus "
+        "libros xunto á fiestra mentres a auga corría polo vidro.",
+        "Cada sábado o vello mercado no medio da cidade énchese de "
+        "xente que vén mercar pan, peixe e verduras, e os vendedores "
+        "berran os prezos detrás das mesas de madeira.",
+        "A ciencia non nos dá respostas definitivas; dános preguntas "
+        "mellores, e a historia de cada descubrimento amosa canto "
+        "tempo pode agardar unha boa pregunta pola persoa que a toma "
+        "en serio.",
+    ),
+    "af": (
+        "Die reën het vroeg in die oggend begin en eers laat in die "
+        "aand opgehou, daarom het die kinders binne gebly en hulle "
+        "boeke by die venster gelees terwyl die water teen die glas "
+        "afgeloop het.",
+        "Elke Saterdag word die ou mark in die middel van die stad vol "
+        "mense wat brood, vis en groente kom koop, en die verkopers "
+        "roep hulle pryse agter die houttafels uit.",
+        "Die wetenskap gee ons nie finale antwoorde nie; dit gee ons "
+        "beter vrae, en die geskiedenis van elke ontdekking wys hoe "
+        "lank 'n goeie vraag kan wag vir die mens wat dit ernstig "
+        "opneem.",
+    ),
+    "ms": (
+        "Hujan mula turun awal pagi dan tidak berhenti sehingga lewat "
+        "malam, jadi kanak-kanak itu tinggal di dalam rumah dan "
+        "membaca buku mereka di tepi tingkap sementara air mengalir "
+        "di kaca.",
+        "Setiap hari Sabtu pasar lama di tengah bandar dipenuhi orang "
+        "yang datang membeli roti, ikan dan sayur, dan para penjual "
+        "melaungkan harga dari belakang meja kayu.",
+        "Sains tidak memberi kita jawapan muktamad; ia memberi kita "
+        "soalan yang lebih baik, dan sejarah setiap penemuan "
+        "menunjukkan berapa lama soalan yang baik boleh menunggu orang "
+        "yang mengambilnya dengan serius kerana itu penting.",
+    ),
+    "sw": (
+        "Mvua ilianza asubuhi na mapema na haikuacha mpaka usiku wa "
+        "manane, kwa hivyo watoto walibaki ndani ya nyumba na kusoma "
+        "vitabu vyao karibu na dirisha wakati maji yakitiririka kwenye "
+        "kioo.",
+        "Kila Jumamosi soko la zamani katikati ya mji hujaa watu "
+        "wanaokuja kununua mkate, samaki na mboga, na wauzaji hupiga "
+        "kelele za bei zao nyuma ya meza za mbao.",
+        "Sayansi haitupi majibu ya mwisho; inatupa maswali bora "
+        "zaidi, na historia ya kila ugunduzi inaonyesha muda gani "
+        "swali zuri linaweza kumsubiri mtu anayelichukulia kwa uzito.",
+    ),
+    "tl": (
+        "Nagsimula ang ulan nang maaga sa umaga at hindi tumigil "
+        "hanggang gabi, kaya nanatili ang mga bata sa loob ng bahay at "
+        "nagbasa ng kanilang mga libro sa tabi ng bintana habang "
+        "umaagos ang tubig sa salamin.",
+        "Tuwing Sabado ang lumang palengke sa gitna ng lungsod ay "
+        "napupuno ng mga taong bumibili ng tinapay, isda at gulay, at "
+        "isinisigaw ng mga nagtitinda ang kanilang mga presyo sa likod "
+        "ng mga mesang kahoy.",
+        "Hindi tayo binibigyan ng agham ng panghuling sagot; "
+        "binibigyan tayo nito ng mas mahusay na mga tanong, at "
+        "ipinapakita ng kasaysayan ng bawat tuklas kung gaano katagal "
+        "makapaghihintay ang isang mabuting tanong sa taong sineseryoso "
+        "ito.",
+    ),
+    "is": (
+        "Rigningin byrjaði snemma um morguninn og hætti ekki fyrr en "
+        "seint um kvöldið, svo börnin voru inni og lásu bækurnar sínar "
+        "við gluggann á meðan vatnið rann niður glerið.",
+        "Á hverjum laugardegi fyllist gamli markaðurinn í miðjum bænum "
+        "af fólki sem kemur að kaupa brauð, fisk og grænmeti, og "
+        "sölumennirnir kalla upp verðin sín bak við tréborðin.",
+        "Vísindin gefa okkur ekki endanleg svör; þau gefa okkur betri "
+        "spurningar, og saga hverrar uppgötvunar sýnir hve lengi góð "
+        "spurning getur beðið eftir manneskjunni sem tekur hana "
+        "alvarlega.",
+    ),
+    "sq": (
+        "Shiu filloi herët në mëngjes dhe nuk pushoi deri vonë në "
+        "mbrëmje, kështu që fëmijët qëndruan brenda dhe lexuan librat "
+        "e tyre pranë dritares ndërsa uji rridhte nëpër xham.",
+        "Çdo të shtunë tregu i vjetër në mes të qytetit mbushet me "
+        "njerëz që vijnë të blejnë bukë, peshk dhe perime, dhe "
+        "shitësit thërrasin çmimet e tyre pas tavolinave prej druri.",
+        "Shkenca nuk na jep përgjigje përfundimtare; na jep pyetje më "
+        "të mira, dhe historia e çdo zbulimi tregon sa gjatë mund të "
+        "presë një pyetje e mirë njeriun që e merr seriozisht.",
+    ),
+    "hr": (
+        "Kiša je počela rano ujutro i nije prestala do kasno navečer, "
+        "pa su djeca ostala u kući i čitala svoje knjige kraj prozora "
+        "dok je voda tekla niz staklo.",
+        "Svake subote stara tržnica u sredini grada puni se ljudima "
+        "koji dolaze kupiti kruh, ribu i povrće, a prodavači viču "
+        "svoje cijene iza drvenih stolova.",
+        "Znanost nam ne daje konačne odgovore; daje nam bolja pitanja, "
+        "a povijest svakog otkrića pokazuje koliko dugo dobro pitanje "
+        "može čekati čovjeka koji ga shvati ozbiljno.",
+    ),
+    "sk": (
+        "Dážď začal padať skoro ráno a neprestal až do neskorého "
+        "večera, takže deti zostali doma a čítali si knihy pri okne, "
+        "zatiaľ čo voda stekala po skle.",
+        "Každú sobotu sa starý trh uprostred mesta naplní ľuďmi, ktorí "
+        "prichádzajú kúpiť chlieb, ryby a zeleninu, a predavači "
+        "vykrikujú ceny spoza drevených stolov.",
+        "Veda nám nedáva konečné odpovede; dáva nám lepšie otázky a "
+        "história každého objavu ukazuje, ako dlho môže dobrá otázka "
+        "čakať na človeka, ktorý ju berie vážne, pretože to je "
+        "podstatné.",
+    ),
+    "he": (
+        "הגשם התחיל מוקדם בבוקר ולא פסק עד שעה מאוחרת בערב, ולכן "
+        "הילדים נשארו בבית וקראו את הספרים שלהם ליד החלון בזמן "
+        "שהמים זרמו על הזכוכית.",
+        "בכל יום שבת השוק הישן שבמרכז העיר מתמלא באנשים שבאים "
+        "לקנות לחם, דגים וירקות, והמוכרים קוראים את המחירים מאחורי "
+        "השולחנות מעץ.",
+        "המדע אינו נותן לנו תשובות סופיות; הוא נותן לנו שאלות "
+        "טובות יותר, וההיסטוריה של כל תגלית מראה כמה זמן יכולה "
+        "שאלה טובה לחכות לאדם שייקח אותה ברצינות.",
+    ),
+    "th": (
+        "ฝนเริ่มตกตั้งแต่เช้าตรู่และไม่หยุดจนดึก เด็ก ๆ "
+        "จึงอยู่ในบ้านและอ่านหนังสือของพวกเขาข้างหน้าต่าง "
+        "ขณะที่น้ำไหลลงตามกระจก",
+        "ทุกวันเสาร์ ตลาดเก่ากลางเมืองจะเต็มไปด้วยผู้คนที่มาซื้อขนมปัง "
+        "ปลา และผัก และพ่อค้าแม่ค้าก็ตะโกนบอกราคาจากหลังโต๊ะไม้",
+        "วิทยาศาสตร์ไม่ได้ให้คำตอบสุดท้ายแก่เรา "
+        "มันให้คำถามที่ดีกว่า และประวัติของการค้นพบทุกครั้งแสดงให้เห็นว่า "
+        "คำถามที่ดีสามารถรอคนที่จริงจังกับมันได้นานเพียงใด",
+    ),
+}

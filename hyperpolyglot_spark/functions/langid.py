@@ -53,23 +53,41 @@ def text_grams(text: str) -> list[str]:
 # deterministic training corpus (the samples/ analog)
 # ----------------------------------------------------------------------
 
+# scripts written WITHOUT spaces between words: training docs for these
+# join words directly, like real prose — otherwise every real zh/ja/th
+# trigram crosses a space the model never saw and the scorer
+# degenerates to the all-DEFAULT_LOG_PROB tie (measured on the
+# real-text fixture: zh/ja dict-NB accuracy 0 -> 1 with this fix)
+_NO_SPACE_SCRIPTS = frozenset(("han", "kanji_kana", "thai"))
+
+
+def _lang_sep(lang: str) -> str:
+    from .langdata import LANG_INFO
+
+    info = LANG_INFO.get(lang)
+    return "" if info and info["script"] in _NO_SPACE_SCRIPTS else " "
+
+
 def training_corpus(
     docs_per_lang: int = 50, words_per_doc: int = 80, seed: int = 1337
 ) -> list[tuple[str, str]]:
     """(lang, text) rows drawn from the per-language word pools with a
-    seeded RNG — fully deterministic, mirrors reference samples/."""
+    seeded RNG — fully deterministic, mirrors reference samples/.
+    Space-less scripts (zh/ja/th) join without separators, like the
+    text they will be scored on."""
     rows = []
     for lang in LANGUAGES:
         rng = random.Random(f"{seed}:{lang}")
         pool = WORDS[lang]
         stop = STOPWORDS[lang]
+        sep = _lang_sep(lang)
         for _ in range(docs_per_lang):
             words = []
             for _ in range(words_per_doc):
                 # ~45% stopwords, like real prose
                 src = stop if rng.random() < 0.45 else pool
                 words.append(src[rng.randrange(len(src))])
-            rows.append((lang, " ".join(words)))
+            rows.append((lang, sep.join(words)))
     return rows
 
 
@@ -272,7 +290,15 @@ def grams_col(text: Column | str, n: int = NGRAM, cap: int = MAX_SCORE_CHARS) ->
 # by bucket count, not vocabulary, so it stays O(MB) at 100+ languages.
 # ----------------------------------------------------------------------
 
-HASH_BUCKETS = 4096
+# 16384 buckets: at 60 languages with space-less CJK training the
+# no-space scripts occupy thousands of distinct grams, and at 4096
+# buckets zh covered ~60% of the hash space — every out-of-vocabulary
+# gram of ANY language collided into a zh bucket at logp ~ -8 vs the
+# -19 miss penalty, so broad-coverage languages became attractors
+# (real-text fixture accuracy 0.47). 16384 cuts coverage 4x
+# (accuracy 0.95, tests/test_realtext.py); broadcast stays bounded:
+# 60 langs x 16384 x 8B = 7.9 MB.
+HASH_BUCKETS = 16384
 
 # lang -> float64[HASH_BUCKETS] of logp (DEFAULT_LOG_PROB where empty)
 HashedModel = dict[str, np.ndarray]
@@ -469,7 +495,12 @@ def text_tokens(text: str) -> list[str]:
 
 
 def train_token_py(corpus: list[tuple[str, str]]) -> TokenModel:
-    """classifier.rs/codegen.rs:357-428 trainer over token features."""
+    """classifier.rs/codegen.rs:357-428 trainer over token features.
+    A language yielding ZERO classifier tokens (e.g. spaceless-CJK
+    prose lexes into idents over the 32-byte cap) is ABSENT from the
+    model, like train_ppl_py — it then scores -inf, never a spurious
+    tie winner. The token-NB is the reference's CODE-classifier path;
+    spaceless prose is outside its feature domain by construction."""
     model = TokenModel()
     for lang in sorted({l for l, _ in corpus}):
         counts: Counter[str] = Counter()
@@ -477,6 +508,8 @@ def train_token_py(corpus: list[tuple[str, str]]) -> TokenModel:
             if l == lang:
                 counts.update(text_tokens(text))
         total = sum(counts.values())
+        if not total:
+            continue
         model[lang] = {t: math.log(c / total) for t, c in counts.items()}
     return model
 

@@ -282,3 +282,106 @@ def with_perplexity(
     return df.withColumn(
         out_col, make_perplexity_udf(spark, model)(F.col(text_col), F.col(lang_col))
     )
+
+
+# ----------------------------------------------------------------------
+# per-language threshold calibration (the CCNet lesson): one global
+# MAX_PPL cannot serve every script — char-trigram entropy differs by
+# an order of magnitude between Latin prose (clean ~3) and spaceless
+# CJK (clean ~26-44, because each character is a word and the trigram
+# space is undersampled at any fixed corpus size). Thresholds are
+# derived deterministically from the SAME word pools the model trains
+# on: per language, the geometric mean of the held-out-clean median
+# and the word-salad median — the midpoint of the measured separation.
+# ----------------------------------------------------------------------
+
+_CAL_DOCS = 8
+_CAL_WORDS = 200
+_SALAD_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _cal_clean(lang: str, seed: int) -> str:
+    """Held-out clean doc: same pools/mix as training_corpus but a
+    disjoint seed namespace — measures unseen-but-in-distribution ppl."""
+    import random
+
+    from .langid import STOPWORDS, WORDS, _lang_sep
+
+    rng = random.Random(f"ppl-cal-clean:{seed}:{lang}")
+    pool, stop = WORDS[lang], STOPWORDS[lang]
+    sep = _lang_sep(lang)
+    words = []
+    for _ in range(_CAL_WORDS):
+        src = stop if rng.random() < 0.45 else pool
+        words.append(src[rng.randrange(len(src))])
+    return sep.join(words)
+
+
+def _cal_salad(lang: str, seed: int) -> str:
+    """The 'perplexed' fixture stratum shape: genuine stopwords mixed
+    with ascii gibberish — what the ppl rule exists to catch."""
+    import random
+
+    from .langid import STOPWORDS, _lang_sep
+
+    rng = random.Random(f"ppl-cal-salad:{seed}:{lang}")
+    stop = STOPWORDS[lang]
+    sep = _lang_sep(lang)
+    out = []
+    for _ in range(_CAL_WORDS):
+        if rng.random() < 0.45:
+            out.append(stop[rng.randrange(len(stop))])
+        else:
+            out.append(
+                "".join(
+                    rng.choice(_SALAD_ALPHABET)
+                    for _ in range(rng.randint(4, 9))
+                )
+            )
+    return sep.join(out)
+
+
+def ppl_thresholds(model: PplModel, langs=None) -> dict[str, float]:
+    """lang -> drop threshold: sqrt(median(clean) * median(salad)).
+    Deterministic (seeded calibration docs); a language missing from
+    the model gets no entry (callers fall back to quality.MAX_PPL)."""
+    import statistics
+
+    from .langid import LANGUAGES
+
+    out: dict[str, float] = {}
+    for lang in langs if langs is not None else LANGUAGES:
+        if lang not in model:
+            continue
+        clean = [
+            p
+            for s in range(_CAL_DOCS)
+            if (p := perplexity_py(_cal_clean(lang, s), lang, model)) is not None
+        ]
+        salad = [
+            p
+            for s in range(_CAL_DOCS)
+            if (p := perplexity_py(_cal_salad(lang, s), lang, model)) is not None
+        ]
+        if not clean or not salad:
+            continue
+        out[lang] = float(
+            (statistics.median(clean) * statistics.median(salad)) ** 0.5
+        )
+    return out
+
+
+_THRESHOLD_CACHE: dict[int, dict[str, float]] = {}
+
+
+def ppl_thresholds_for(model: PplModel) -> dict[str, float]:
+    """Memoized-by-identity thresholds (the default model computes its
+    calibration once per process, like the model itself)."""
+    key = id(model)
+    got = _THRESHOLD_CACHE.get(key)
+    if got is None:
+        if len(_THRESHOLD_CACHE) > 8:
+            _THRESHOLD_CACHE.clear()
+        got = ppl_thresholds(model)
+        _THRESHOLD_CACHE[key] = got
+    return got

@@ -26,16 +26,23 @@ from pyspark.sql import functions as F
 from .langdata import ALL_STOPWORDS
 
 # Chars that count as "symbols": not alnum, not whitespace, and not a
-# letter of any script in the 24-language universe. Same class compiles
+# letter of any script in the 60-language universe. Same class compiles
 # under Python re and Java regex (explicit literal ranges, no \w).
 _SYMBOL_CLASS = (
     "[^A-Za-z0-9\\s"
     "À-ɏ"  # latin-1 supplement + extended A/B (diacritics)
     "Ͱ-Ͽ"  # greek
     "Ѐ-ӿ"  # cyrillic
+    "԰-֏"  # armenian
     "֐-׿"  # hebrew
     "؀-ۿ"  # arabic
     "ऀ-ॿ"  # devanagari
+    "ঀ-৿"  # bengali
+    "஀-௿"  # tamil
+    "ఀ-౿"  # telugu
+    "ഀ-ൿ"  # malayalam
+    "฀-๿"  # thai
+    "Ⴀ-ჿ"  # georgian
     "Ḁ-ỿ"  # latin extended additional (vietnamese)
     "぀-ヿ"  # hiragana + katakana
     "一-鿿"  # cjk unified ideographs
@@ -44,6 +51,30 @@ _SYMBOL_CLASS = (
 )
 _SYMBOL_RE = re.compile(_SYMBOL_CLASS)
 _WS_SPLIT_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+
+# Scripts written WITHOUT spaces between words (han, kana, thai —
+# hangul and vietnamese DO space). Word-based quality signals are
+# meaningless for text dominated by these scripts: a 400-word zh doc is
+# ~10 whitespace tokens, so stopword density reads ~0 and word-3-gram
+# repetition reads ~0 regardless of content. Docs with
+# spaceless_ratio > 0.5 get CHAR-based equivalents instead (the CCNet/
+# Gopher-style CJK special-case every real web filter needs).
+_SPACELESS_CLASS = "[぀-ヿ一-鿿฀-๿]"
+_SPACELESS_RE = re.compile(_SPACELESS_CLASS)
+SPACELESS_THRESHOLD = 0.5
+_REP_CHAR_N = 3
+_REP_CHAR_CAP = 2000
+
+# Korean is SPACED but agglutinative: function morphemes (은/는/이/가/
+# 를/에서/...) attach to content words, so real Korean prose has ~zero
+# EXACT stopword-token matches (measured 0.015 on the real-text
+# fixture). A hangul token ending in a common particle counts as a
+# stop hit — same regex in Python re, Java rlike, and DuckDB RE2.
+_HANGUL_PARTICLE_RE_S = (
+    "[가-힯]+(?:는|은|이|가|를|을|의|에서|에게|에|으로|로|와|과|도|만"
+    "|까지|부터|처럼|보다)$"
+)
+_HANGUL_PARTICLE_RE = re.compile(_HANGUL_PARTICLE_RE_S)
 
 # Vendor/boilerplate URL blocklist — the P3/P4 analog of the reference's
 # ~120 vendored-path globs (src/filters/vendor.rs, documentation.rs),
@@ -116,6 +147,9 @@ _VENDOR_URL_COMPILED = re.compile(VENDOR_URL_RE)
 
 # --- thresholds (the ordered rule table) ------------------------------
 MIN_CHARS = 200
+# spaceless scripts carry ~2.5x information per char (each han char is
+# a word): the length floor for spaceless-dominant docs is lower
+MIN_CHARS_SPACELESS = 80
 MAX_CHARS = 40_000
 MAX_SYMBOL_RATIO = 0.30
 MAX_REP3_RATIO = 0.50
@@ -125,14 +159,26 @@ MIN_STOPWORD_DENSITY = 0.05
 # 20-50+ (measured, tests/test_perplexity.py pins the separation).
 MAX_PPL = 10.0
 
+# Char-trigram repetition threshold for spaceless docs: normal zh/ja
+# prose has distinct-trigram ratio ~0.7-0.95 (rep ~0.05-0.3); a
+# repeated phrase block collapses it (rep 0.9+). Measured on the
+# fixture strata (tests/test_spec_functions.py).
+MAX_REP_CHAR_RATIO = 0.60
+
 # (rule_id, signal, op) — order IS the spec (first match wins).
+# The *_gated signals are NULL/None for the script class where the
+# word-based form is meaningless (see _SPACELESS_CLASS above); a NULL
+# signal never fires its rule, so each rule applies exactly to the
+# script class it measures.
 RULES: tuple[tuple[str, str, str, float], ...] = (
     ("url_blocklist", "is_vendor_url", ">=", 1.0),
-    ("too_short", "n_chars", "<", float(MIN_CHARS)),
+    ("too_short", "n_chars_gated", "<", float(MIN_CHARS)),
+    ("too_short_spaceless", "n_chars_spaceless_gated", "<", float(MIN_CHARS_SPACELESS)),
     ("too_long", "n_chars", ">", float(MAX_CHARS)),
     ("symbol_ratio", "symbol_ratio", ">", MAX_SYMBOL_RATIO),
-    ("repetition", "rep3_ratio", ">", MAX_REP3_RATIO),
-    ("stopword_density", "stop_density", "<", MIN_STOPWORD_DENSITY),
+    ("repetition", "rep3_gated", ">", MAX_REP3_RATIO),
+    ("repetition_char", "rep_char_gated", ">", MAX_REP_CHAR_RATIO),
+    ("stopword_density", "stop_density_gated", "<", MIN_STOPWORD_DENSITY),
 )
 
 # The perplexity rule is LAST by design (classifier-dodge economics,
@@ -165,14 +211,36 @@ def py_signals(text: str, url: str = "") -> dict[str, float]:
         if not n_grams
         else 1.0 - len(set(zip(words, words[1:], words[2:]))) / n_grams
     )
-    # C-level loop: identical to sum(1 for w in words if w.lower() in S)
-    n_stop = sum(map(ALL_STOPWORDS.__contains__, map(str.lower, words)))
+    # exact stopword match OR hangul-particle suffix (agglutinative ko)
+    n_stop = sum(
+        w.lower() in ALL_STOPWORDS or _HANGUL_PARTICLE_RE.search(w) is not None
+        for w in words
+    )
+    n_spaceless = len(_SPACELESS_RE.findall(text))
+    spaceless_ratio = n_spaceless / max(1, n_chars)
+    spaceless = spaceless_ratio > SPACELESS_THRESHOLD
+    # char-trigram repetition over the capped text (the spaceless
+    # analog of rep3); None outside its script class, like the gates
+    t = text[:_REP_CHAR_CAP]
+    n_ctri = max(0, len(t) - _REP_CHAR_N + 1)
+    rep_char = (
+        0.0
+        if not n_ctri
+        else 1.0
+        - len({t[i : i + _REP_CHAR_N] for i in range(n_ctri)}) / n_ctri
+    )
     return {
         "n_chars": float(n_chars),
         "n_words": float(n_words),
         "symbol_ratio": n_sym / max(1, n_chars),
         "rep3_ratio": rep3,
         "stop_density": n_stop / max(1, n_words),
+        "spaceless_ratio": spaceless_ratio,
+        "n_chars_gated": None if spaceless else float(n_chars),
+        "n_chars_spaceless_gated": float(n_chars) if spaceless else None,
+        "rep3_gated": None if spaceless else rep3,
+        "rep_char_gated": rep_char if spaceless else None,
+        "stop_density_gated": None if spaceless else n_stop / max(1, n_words),
         "is_vendor_url": 1.0 if _VENDOR_URL_COMPILED.search(url) else 0.0,
     }
 
@@ -256,13 +324,45 @@ def with_quality_signals(
     n_chars = F.length(t)
     n_sym = n_chars - F.length(F.regexp_replace(t, _SYMBOL_CLASS, ""))
     stop_hits = F.size(
-        F.filter("_w", lambda x: _stop_map()[F.lower(x)].isNotNull())
+        F.filter(
+            "_w",
+            lambda x: _stop_map()[F.lower(x)].isNotNull()
+            | x.rlike(_HANGUL_PARTICLE_RE_S),
+        )
     )
     is_vendor = (
         F.col(url_col).rlike(VENDOR_URL_RE).cast("double")
         if url_col
         else F.lit(0.0)
     )
+    n_spaceless = n_chars - F.length(
+        F.regexp_replace(t, _SPACELESS_CLASS, "")
+    )
+    spaceless_ratio = (
+        n_spaceless.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    )
+    is_spaceless = spaceless_ratio > F.lit(SPACELESS_THRESHOLD)
+    # char-trigram distinct ratio over the capped text: explode an int
+    # sequence + substr (the exploded_grams trick) is for bulk aggs;
+    # per-row a transform over <= 2000 elements is the right shape
+    tc = F.substring(t, 1, _REP_CHAR_CAP)
+    tclen = F.length(tc)
+    n_ctri = F.greatest(tclen - F.lit(_REP_CHAR_N - 1), F.lit(0))
+    ctri = F.when(
+        tclen >= _REP_CHAR_N,
+        F.transform(
+            F.sequence(F.lit(1), tclen - F.lit(_REP_CHAR_N - 1)),
+            lambda i: tc.substr(i, F.lit(_REP_CHAR_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep_char = F.when(
+        n_ctri > 0,
+        1.0 - F.size(F.array_distinct(ctri)) / n_ctri.cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_density = stop_hits.cast("double") / F.greatest(
+        F.size("_w"), F.lit(1)
+    ).cast("double")
+    null_d = F.lit(None).cast("double")
     return (
         df.withColumn("n_chars", n_chars.cast("long"))
         .withColumn("n_words", F.size("_w").cast("long"))
@@ -271,10 +371,26 @@ def with_quality_signals(
             n_sym.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"),
         )
         .withColumn("rep3_ratio", rep3.cast("double"))
+        .withColumn("stop_density", stop_density)
+        .withColumn("spaceless_ratio", spaceless_ratio.cast("double"))
         .withColumn(
-            "stop_density",
-            stop_hits.cast("double")
-            / F.greatest(F.size("_w"), F.lit(1)).cast("double"),
+            "n_chars_gated",
+            F.when(~is_spaceless, n_chars.cast("double")).otherwise(null_d),
+        )
+        .withColumn(
+            "n_chars_spaceless_gated",
+            F.when(is_spaceless, n_chars.cast("double")).otherwise(null_d),
+        )
+        .withColumn(
+            "rep3_gated", F.when(~is_spaceless, rep3.cast("double")).otherwise(null_d)
+        )
+        .withColumn(
+            "rep_char_gated",
+            F.when(is_spaceless, rep_char.cast("double")).otherwise(null_d),
+        )
+        .withColumn(
+            "stop_density_gated",
+            F.when(~is_spaceless, stop_density).otherwise(null_d),
         )
         .withColumn("is_vendor_url", is_vendor)
         .drop("_w")

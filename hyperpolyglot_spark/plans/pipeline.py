@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.extract import extract_text, meta_lang_tag
-from ..functions.perplexity import default_ppl_model, perplexity_py
+from ..functions.perplexity import (
+    default_ppl_model,
+    perplexity_py,
+    ppl_thresholds_for,
+)
 from ..functions.quality import MAX_PPL, py_keep_drop, py_signals
 from ..functions.scrub import SCRUB_NAMES, py_scrub
 from ..operators.cascade import detect_lang_py
@@ -192,7 +196,13 @@ def py_label_page(url: str, html: bytes, model=None, ppl_model=None) -> dict:
 
     Perplexity economics (X5): the LM scores a doc only if every cheap
     rule passed — dropped docs carry perplexity=None, and the ppl rule
-    (quality.PPL_RULE) is the LAST rule by design."""
+    (quality.PPL_RULE) is the LAST rule by design.
+
+    The ppl threshold is PER-LANGUAGE (perplexity.ppl_thresholds_for —
+    the CCNet-style calibration): char-trigram entropy differs by an
+    order of magnitude between Latin prose and spaceless CJK, so one
+    global cutoff either drops every clean zh/ja doc or passes every
+    Latin word salad. Unknown language -> quality.MAX_PPL fallback."""
     text = extract_text(html)
     meta = meta_lang_tag(html)
     lang_pred, strategy = detect_lang_py(url, text, meta, model)
@@ -200,8 +210,10 @@ def py_label_page(url: str, html: bytes, model=None, ppl_model=None) -> dict:
     keep, drop_rule = py_keep_drop(text, url, signals=sig)
     ppl = None
     if keep:
-        ppl = perplexity_py(text, lang_pred, ppl_model or default_ppl_model())
-        if ppl is not None and ppl > MAX_PPL:
+        pm = ppl_model or default_ppl_model()
+        ppl = perplexity_py(text, lang_pred, pm)
+        thr = ppl_thresholds_for(pm).get(lang_pred, MAX_PPL)
+        if ppl is not None and ppl > thr:
             keep, drop_rule = False, "perplexity"
     if keep:
         scrubbed, counts = py_scrub(text)

@@ -128,7 +128,7 @@ def test_rule_engine_contexts_in_cascade(spark):
         # meta 'cjk' + neutral tld: kana -> ja, hangul -> ko, else zh
         ("https://site1.example.com/p7", "これ は てすと です", "cjk", "ja"),
         ("https://site1.example.com/p8", "이 것 은 테스트", "cjk", "ko"),
-        ("https://site1.example.com/p9", "这 是 的 测试", "cjk", "zh"),
+        ("https://site1.example.com/p9", "这是的测试没有空格", "cjk", "zh"),
         # meta 'scandinavian': da And(+og/af, -och)
         ("https://site1.example.com/p10", "det er og af huset", "scandinavian", "da"),
         ("https://site1.example.com/p11", "det och är huset", "scandinavian", "sv"),

@@ -127,24 +127,49 @@ def test_with_perplexity_matches_spec(spark):
 
 
 def test_quality_separation_and_rule():
-    """Clean fixture prose stays well under MAX_PPL; the perplexed
-    stratum scores well over it; py_label_page drops it with rule id
-    'perplexity' and never scores docs an earlier rule dropped."""
+    """Clean fixture prose stays under its LANGUAGE'S calibrated
+    threshold (perplexity.ppl_thresholds_for — per-language because
+    char-trigram entropy differs by script); the perplexed stratum
+    scores over it; py_label_page drops it with rule id 'perplexity'
+    and never scores docs an earlier rule dropped."""
+    from hyperpolyglot_spark.functions.perplexity import (
+        default_ppl_model,
+        ppl_thresholds_for,
+    )
+
+    thr = ppl_thresholds_for(default_ppl_model())
     n_ppl_drops = 0
     for i in range(400):
         r = gen_page(i)
         row = py_label_page(r["url"], r["html"])
+        t = thr.get(row["lang_pred"], MAX_PPL)
         if row["keep"]:
             assert row["perplexity"] is not None
-            assert row["perplexity"] < MAX_PPL
+            assert row["perplexity"] <= t
         elif row["drop_rule"] == "perplexity":
             n_ppl_drops += 1
-            assert row["perplexity"] > MAX_PPL
+            assert row["perplexity"] > t
             assert row["scrubbed_text"] is None
         else:
             # early-exit X5: LM never scored docs cheap rules dropped
             assert row["perplexity"] is None
     assert n_ppl_drops >= 5
+
+
+def test_thresholds_are_per_language_and_ordered():
+    """Latin thresholds sit near the old global cutoff; spaceless-CJK
+    thresholds are an order of magnitude higher — the calibration that
+    keeps clean zh/ja prose (pre-fix: 100% of it was ppl-dropped)."""
+    from hyperpolyglot_spark.functions.perplexity import (
+        default_ppl_model,
+        ppl_thresholds_for,
+    )
+
+    thr = ppl_thresholds_for(default_ppl_model())
+    for lang in ("en", "de", "fr", "ru", "ar"):
+        assert 5.0 < thr[lang] < 15.0, (lang, thr[lang])
+    assert thr["zh"] > 30 and thr["ja"] > 25
+    assert thr["zh"] > 3 * thr["en"]
 
 
 def test_pipeline_emits_perplexity_metrics(spark):
@@ -155,5 +180,11 @@ def test_pipeline_emits_perplexity_metrics(spark):
     m = metrics(labels)
     rules = {r["drop_rule"] for r in m.select("drop_rule").distinct().collect()}
     assert "perplexity" in rules
+    from hyperpolyglot_spark.functions.perplexity import (
+        default_ppl_model,
+        ppl_thresholds_for,
+    )
+
+    max_thr = max(ppl_thresholds_for(default_ppl_model()).values())
     kept_ppl = labels.filter(F.col("keep")).agg(F.max("perplexity")).collect()[0][0]
-    assert kept_ppl is not None and kept_ppl < MAX_PPL
+    assert kept_ppl is not None and kept_ppl <= max_thr

@@ -1,0 +1,106 @@
+"""Real-prose transfer measurement (the reference samples/ golden-test
+analog, VERDICT r2 'what's missing' #3): models trained on the
+synthetic word pools are evaluated on natural prose they never saw.
+Numbers here are reported in BASELINE.md — the floors assert the
+measured levels don't silently regress.
+
+What this fixture already caught (round 3):
+  - space-joined CJK training made real zh/ja prose unclassifiable
+    (dict-NB accuracy 0) -> training_corpus now joins spaceless
+    scripts without separators;
+  - at 4096 hash buckets the widened zh gram space covered ~60% of
+    buckets and attracted every out-of-vocabulary gram (hashed
+    accuracy 0.47) -> HASH_BUCKETS=16384.
+"""
+
+import random
+
+import pytest
+
+from hyperpolyglot_spark.datagen.realtext import REAL_TEXT
+from hyperpolyglot_spark.functions.langid import (
+    classify_hashed_py,
+    classify_py,
+    default_hashed_model,
+    default_model,
+)
+from hyperpolyglot_spark.functions.perplexity import (
+    default_ppl_model,
+    perplexity_py,
+)
+
+
+def _accuracy(scorer):
+    n = ok = 0
+    errs = []
+    for lang, passages in REAL_TEXT.items():
+        for p in passages:
+            n += 1
+            got = scorer(p)
+            ok += got == lang
+            if got != lang:
+                errs.append((lang, got))
+    return ok / n, errs
+
+
+def test_fixture_shape():
+    assert len(REAL_TEXT) >= 30
+    for lang, passages in REAL_TEXT.items():
+        assert len(passages) == 3, lang
+        for p in passages:
+            # CJK passages are ~45-60 chars (each char is a word)
+            assert len(p) > 40, lang
+
+
+def test_dict_nb_transfer_accuracy():
+    m = default_model()
+    acc, errs = _accuracy(lambda p: classify_py(p, None, m))
+    # measured 0.982 (2/114 misses: zh->en one passage, ms->id)
+    assert acc >= 0.95, (acc, errs)
+
+
+def test_hashed_nb_transfer_accuracy():
+    hm = default_hashed_model()
+    acc, errs = _accuracy(lambda p: classify_hashed_py(p, None, hm))
+    # measured 0.947 at 16384 buckets; residual errors are the
+    # genuinely-hard pairs (zh/ja han overlap, ko short text, uk/ru,
+    # ms/id). The 4096-bucket attractor failure scored 0.47.
+    assert acc >= 0.90, (acc, errs)
+
+
+def test_perplexity_prefers_real_prose_over_scrambled():
+    """Under each language's char-LM, natural prose must score lower
+    perplexity than the same characters shuffled — the LM orders
+    real text above noise even on out-of-distribution prose."""
+    m = default_ppl_model()
+    rng = random.Random(7)
+    n = lower = 0
+    for lang, passages in REAL_TEXT.items():
+        for p in passages:
+            pr = perplexity_py(p, lang, m)
+            chars = list(p)
+            rng.shuffle(chars)
+            ps = perplexity_py("".join(chars), lang, m)
+            if pr is None or ps is None:
+                continue
+            n += 1
+            lower += pr < ps
+    # measured 107/114 before the no-space fix; >= 0.9 after
+    assert lower / n >= 0.9, (lower, n)
+
+
+def test_real_prose_survives_quality_rules():
+    """A full-length real document (the language's three passages
+    joined — individual passages sit under the 200-char too_short
+    floor by design) is genuine clean prose: none may be dropped by
+    the script-aware signal rules. This is the check that caught the
+    symbol-class gap (thai/georgian/armenian chars counted as symbols,
+    symbol_ratio 0.98 -> everything dropped) and the stopword/rep3
+    gates for spaceless scripts."""
+    from hyperpolyglot_spark.functions.langid import _lang_sep
+    from hyperpolyglot_spark.functions.quality import py_keep_drop
+
+    for lang, passages in REAL_TEXT.items():
+        doc = _lang_sep(lang).join(passages)
+        keep, rule = py_keep_drop(doc)
+        assert keep, (lang, rule, doc[:60])

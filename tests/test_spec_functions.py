@@ -202,7 +202,7 @@ def test_classifier_stable_tie_break():
 
 def test_classifier_empty_candidates_scores_all():
     model = default_model()
-    assert classify_py("的 是 了 在 和 有", [], model) == "zh"
+    assert classify_py("的是了在和有这就不人", [], model) == "zh"
 
 
 def test_text_grams_bounded():
