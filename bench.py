@@ -46,6 +46,10 @@ HEADLINE = [
     "hashed_gram_buckets",
     "docs_keep_drop",
     "neardup_incremental",
+    # round-3 operators
+    "neardup_incremental_indexed",
+    "embedding_knn_blocked",
+    "doc_token_nb",
 ]
 
 

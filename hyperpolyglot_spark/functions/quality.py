@@ -220,15 +220,19 @@ def py_signals(text: str, url: str = "") -> dict[str, float]:
     spaceless_ratio = n_spaceless / max(1, n_chars)
     spaceless = spaceless_ratio > SPACELESS_THRESHOLD
     # char-trigram repetition over the capped text (the spaceless
-    # analog of rep3); None outside its script class, like the gates
-    t = text[:_REP_CHAR_CAP]
-    n_ctri = max(0, len(t) - _REP_CHAR_N + 1)
-    rep_char = (
-        0.0
-        if not n_ctri
-        else 1.0
-        - len({t[i : i + _REP_CHAR_N] for i in range(n_ctri)}) / n_ctri
-    )
+    # analog of rep3) — computed ONLY for spaceless docs (it is None
+    # outside its script class anyway, and the 2000-slice set build is
+    # the kind of per-row cost the hot path must not pay for nothing)
+    rep_char = None
+    if spaceless:
+        t = text[:_REP_CHAR_CAP]
+        n_ctri = max(0, len(t) - _REP_CHAR_N + 1)
+        rep_char = (
+            0.0
+            if not n_ctri
+            else 1.0
+            - len({t[i : i + _REP_CHAR_N] for i in range(n_ctri)}) / n_ctri
+        )
     return {
         "n_chars": float(n_chars),
         "n_words": float(n_words),
@@ -239,7 +243,7 @@ def py_signals(text: str, url: str = "") -> dict[str, float]:
         "n_chars_gated": None if spaceless else float(n_chars),
         "n_chars_spaceless_gated": float(n_chars) if spaceless else None,
         "rep3_gated": None if spaceless else rep3,
-        "rep_char_gated": rep_char if spaceless else None,
+        "rep_char_gated": rep_char,
         "stop_density_gated": None if spaceless else n_stop / max(1, n_words),
         "is_vendor_url": 1.0 if _VENDOR_URL_COMPILED.search(url) else 0.0,
     }

@@ -123,16 +123,20 @@ def make_label_udf(spark: SparkSession, model=None, ppl_model=None):
     bc = spark.sparkContext.broadcast(
         model if model is not None else default_hashed_model()
     )
-    bc_ppl = spark.sparkContext.broadcast(ppl_model or default_ppl_model())
+    pm = ppl_model or default_ppl_model()
+    # thresholds calibrate ONCE on the driver and ship with the model —
+    # otherwise every python worker would rerun the 60-language
+    # calibration pass on first use
+    bc_ppl = spark.sparkContext.broadcast((pm, ppl_thresholds_for(pm)))
 
     @F.pandas_udf(_LABEL_SCHEMA)
     def label_udf(urls: pd.Series, html: pd.Series) -> pd.DataFrame:
         m = bc.value
-        mp = bc_ppl.value
+        mp, thr = bc_ppl.value
         out = {f.name: [] for f in _LABEL_SCHEMA.fields}
         for url, h in zip(urls, html):
             b = bytes(h) if h is not None else b""
-            row = py_label_page(url or "", b, m, mp)
+            row = py_label_page(url or "", b, m, mp, thr)
             for k, v in row.items():
                 if k != "url":
                     out[k].append(v)
@@ -190,7 +194,9 @@ def breakdown(labels: DataFrame) -> DataFrame:
 # frozen single-node oracle (reference labels)
 # ----------------------------------------------------------------------
 
-def py_label_page(url: str, html: bytes, model=None, ppl_model=None) -> dict:
+def py_label_page(
+    url: str, html: bytes, model=None, ppl_model=None, ppl_thr=None
+) -> dict:
     """Pure-Python per-document spec: the 'reference pipeline' whose
     labels the Spark job must match (SURVEY.md §7.1.1).
 
@@ -212,8 +218,8 @@ def py_label_page(url: str, html: bytes, model=None, ppl_model=None) -> dict:
     if keep:
         pm = ppl_model or default_ppl_model()
         ppl = perplexity_py(text, lang_pred, pm)
-        thr = ppl_thresholds_for(pm).get(lang_pred, MAX_PPL)
-        if ppl is not None and ppl > thr:
+        thresholds = ppl_thr if ppl_thr is not None else ppl_thresholds_for(pm)
+        if ppl is not None and ppl > thresholds.get(lang_pred, MAX_PPL):
             keep, drop_rule = False, "perplexity"
     if keep:
         scrubbed, counts = py_scrub(text)

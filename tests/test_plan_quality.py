@@ -132,3 +132,33 @@ def test_range_join_is_bucketed_equijoin(spark):
     plan = plan_of(entry_mod.clicks_in_purchase_windows(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_indexed_incremental_join_plan(spark):
+    """The persisted-index incremental dedup: no cartesian/BNLJ
+    anywhere, and the old side's banded signatures come from a PARQUET
+    SCAN of the index (never a re-signing ArrowEvalPython over df_old).
+    (Short tempfile path: FileScan Location strings truncate at 100
+    chars, so a long pytest tmp_path would hide 'idx/banded'.)"""
+    import shutil
+    import tempfile
+
+    from hyperpolyglot_spark.operators.dedup import (
+        minhash_neardup_join_indexed,
+        save_dedup_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    root = tempfile.mkdtemp(prefix="hpidx-")
+    try:
+        idx = f"{root}/idx"
+        save_dedup_index(spark, old, idx)
+        out = minhash_neardup_join_indexed(spark, new, idx, old, threshold=0.5)
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "idx/banded" in plan  # the index scan feeds the bucket join
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
