@@ -155,8 +155,9 @@ def _neg(*words: str) -> Negative:
 
 
 # Round-3 breadth: the extended context tables below push coverage from
-# 7 to 41 candidate-set contexts (toward heuristics.yml's 69 per-key
-# blocks, reference heuristics.yml:30-530). Shared-script pairs get
+# 7 to 72 candidate-set contexts (vs heuristics.yml's 69 per-key
+# blocks, reference heuristics.yml:30-530; every multi-candidate TLD
+# set in TLD_LANGS has a context). Shared-script pairs get
 # word-level And/Or/Negative ladders; distinct-script members resolve
 # on script ranges — the same Positive/Negative split the reference
 # uses for e.g. .h (C/C++/ObjC) vs .es (Erlang/JavaScript).
@@ -362,6 +363,185 @@ DISAMBIGUATION_RULES.update({
     ],
 })
 
+# Round-3 (cont.): 31 further contexts take the table to 72 (vs
+# heuristics.yml's 69 per-key blocks). Distinct-script members
+# resolve on a script-range Positive; shared-script pairs get
+# And/Or/Negative stopword ladders.
+_EN = _pos("the", "with", "they")
+
+DISAMBIGUATION_RULES.update({
+    "hellenic": [
+        Rule(("el",), Positive(r"[Ͱ-Ͽ]")),
+        Rule(("en",), _EN),
+        Rule(("el", "en")),
+    ],
+    "siam": [
+        Rule(("th",), Positive(r"[฀-๿]")),
+        Rule(("en",), _EN),
+        Rule(("th", "en")),
+    ],
+    "annam": [
+        Rule(("vi",), Or((Positive(r"[ơưạềốộớở]"),
+                          _pos("và", "của", "không")))),
+        Rule(("en",), _EN),
+        Rule(("vi", "en")),
+    ],
+    # Hungarian vs Romanian (Transylvania): ő/ű are Hungarian-only
+    "pannonia": [
+        Rule(("hu",), Or((Positive(r"[őű]"), _pos("és", "hogy", "nem")))),
+        Rule(("ro",), Or((Positive(r"[șț]"), _pos("pentru", "este")))),
+        Rule(("hu", "ro")),
+    ],
+    "eastromance": [
+        Rule(("ro",), Or((Positive(r"[șță]"), _pos("și", "pentru")))),
+        Rule(("it",), _pos("della", "perché", "che")),
+        Rule(("ro", "it")),
+    ],
+    # Polish vs Czech: ł/ż Polish-only, ř/ě Czech-only
+    "westslavic": [
+        Rule(("pl",), Or((Positive(r"[łż]"), _pos("się", "jest")))),
+        Rule(("cs",), Or((Positive(r"[řě]"), _pos("se", "že")))),
+        Rule(("pl", "cs")),
+    ],
+    # Polish vs Ukrainian: script decides
+    "galicia": [
+        Rule(("uk",), Positive(r"[а-я]")),
+        Rule(("pl",), And((_pos("się", "jest", "nie"),
+                           Negative(r"[а-я]")))),
+        Rule(("pl", "uk")),
+    ],
+    "illyrian": [
+        Rule(("sq",), _pos("dhe", "për", "është")),
+        Rule(("en",), _EN),
+        Rule(("sq", "en")),
+    ],
+    "bengal": [
+        Rule(("bn",), Positive(r"[ঀ-৿]")),
+        Rule(("en",), _EN),
+        Rule(("bn", "en")),
+    ],
+    "andhra": [
+        Rule(("te",), Positive(r"[఑-౿]")),
+        Rule(("en",), _EN),
+        Rule(("te", "en")),
+    ],
+    "kerala": [
+        Rule(("ml",), Positive(r"[ഀ-ൿ]")),
+        Rule(("en",), _EN),
+        Rule(("ml", "en")),
+    ],
+    "nippon": [
+        Rule(("ja",), Positive(r"[぀-ヿ]")),
+        Rule(("en",), _EN),
+        Rule(("ja", "en")),
+    ],
+    "hanguk": [
+        Rule(("ko",), Positive(r"[가-힯]")),
+        Rule(("en",), _EN),
+        Rule(("ko", "en")),
+    ],
+    "sino": [
+        Rule(("zh",), Positive(r"[一-鿿]")),
+        Rule(("en",), _EN),
+        Rule(("zh", "en")),
+    ],
+    "runet": [
+        Rule(("ru",), Positive(r"[а-я]")),
+        Rule(("en",), _EN),
+        Rule(("ru", "en")),
+    ],
+    "mashreq": [
+        Rule(("ar",), Positive(r"[؀-ۿ]")),
+        Rule(("en",), _EN),
+        Rule(("ar", "en")),
+    ],
+    # Turkish vs English: dotless-ı/ğ/ş are Turkish-only
+    "anatolia": [
+        Rule(("tr",), Or((Positive(r"[ığş]"), _pos("ve", "için")))),
+        Rule(("en",), _EN),
+        Rule(("tr", "en")),
+    ],
+    "iran": [
+        Rule(("fa",), Positive(r"[؀-ۿ]")),
+        Rule(("en",), _EN),
+        Rule(("fa", "en")),
+    ],
+    "israel": [
+        Rule(("he",), Positive(r"[א-ת]")),
+        Rule(("en",), _EN),
+        Rule(("he", "en")),
+    ],
+    # Indonesian vs English: shared latin, stopwords decide
+    "nusantara": [
+        Rule(("id",), And((_pos("yang", "dengan", "untuk"),
+                           _neg("the")))),
+        Rule(("en",), _EN),
+        Rule(("id", "en")),
+    ],
+    # German vs Dutch: ß German-only; het/een Dutch-only
+    "rhine": [
+        Rule(("de",), Or((Positive(r"ß"),
+                          And((_pos("und"), _neg("het", "een")))))),
+        Rule(("nl",), Or((_pos("het"), _pos("een")))),
+        Rule(("de", "nl")),
+    ],
+    "alpine": [
+        Rule(("fr",), _pos("les", "avec", "dans")),
+        Rule(("it",), _pos("della", "perché", "che")),
+        Rule(("fr", "it")),
+    ],
+    "pyrenees": [
+        Rule(("es",), _pos("más", "usted", "pero")),
+        Rule(("fr",), _pos("les", "avec", "dans")),
+        Rule(("es", "fr")),
+    ],
+    "mediterranean": [
+        Rule(("es",), _pos("más", "usted", "pero")),
+        Rule(("it",), _pos("della", "perché", "che")),
+        Rule(("es", "it")),
+    ],
+    "lusitalic": [
+        Rule(("pt",), _pos("não", "você", "também")),
+        Rule(("it",), _pos("della", "perché", "che")),
+        Rule(("pt", "it")),
+    ],
+    # Estonian vs Finnish vs Swedish: õ Estonian-only
+    "balticrim": [
+        Rule(("et",), Positive(r"õ")),
+        Rule(("fi",), _pos("että", "koska", "myös")),
+        Rule(("sv",), _pos("och", "är")),
+        Rule(("et", "fi", "sv")),
+    ],
+    "norse": [
+        Rule(("is",), Positive(r"[þð]")),
+        Rule(("no",), And((_pos("av", "fordi", "ikke"), _neg("af")))),
+        Rule(("is", "no")),
+    ],
+    "aegean": [
+        Rule(("el",), Positive(r"[Ͱ-Ͽ]")),
+        Rule(("tr",), Or((Positive(r"[ığş]"), _pos("ve", "için")))),
+        Rule(("el", "tr")),
+    ],
+    # .ca TLD (bilingual English/French)
+    "laurentia": [
+        Rule(("fr",), _pos("les", "avec", "dans")),
+        Rule(("en",), _EN),
+        Rule(("en", "fr")),
+    ],
+    # .za TLD: Afrikaans vs English
+    "southafrica": [
+        Rule(("af",), _pos("nie", "die", "van", "'n")),
+        Rule(("en",), _EN),
+        Rule(("af", "en")),
+    ],
+    # .by TLD: ў and і are Belarusian-only (vs Russian)
+    "polesia": [
+        Rule(("be",), Or((Positive(r"[ўі]"), _pos("гэта", "не")))),
+        Rule(("ru",), _pos("что", "это", "потому")),
+        Rule(("be", "ru")),
+    ],
+})
+
 # Dispatch: exact candidate-set -> rule table. The cascade consults the
 # table for a known context and falls back to the per-language marker
 # filter otherwise (operators/cascade.py). Keying on the EXACT set
@@ -409,6 +589,37 @@ RULE_CONTEXTS: dict[frozenset[str], str] = {
     frozenset(("ka", "ru")): "kartvelian",
     frozenset(("hy", "ru")): "transcaucasian",
     frozenset(("az", "ru")): "azeri",
+    frozenset(("el", "en")): "hellenic",
+    frozenset(("th", "en")): "siam",
+    frozenset(("vi", "en")): "annam",
+    frozenset(("hu", "ro")): "pannonia",
+    frozenset(("ro", "it")): "eastromance",
+    frozenset(("pl", "cs")): "westslavic",
+    frozenset(("pl", "uk")): "galicia",
+    frozenset(("sq", "en")): "illyrian",
+    frozenset(("bn", "en")): "bengal",
+    frozenset(("te", "en")): "andhra",
+    frozenset(("ml", "en")): "kerala",
+    frozenset(("ja", "en")): "nippon",
+    frozenset(("ko", "en")): "hanguk",
+    frozenset(("zh", "en")): "sino",
+    frozenset(("ru", "en")): "runet",
+    frozenset(("ar", "en")): "mashreq",
+    frozenset(("tr", "en")): "anatolia",
+    frozenset(("fa", "en")): "iran",
+    frozenset(("he", "en")): "israel",
+    frozenset(("id", "en")): "nusantara",
+    frozenset(("de", "nl")): "rhine",
+    frozenset(("fr", "it")): "alpine",
+    frozenset(("es", "fr")): "pyrenees",
+    frozenset(("es", "it")): "mediterranean",
+    frozenset(("pt", "it")): "lusitalic",
+    frozenset(("et", "fi", "sv")): "balticrim",
+    frozenset(("is", "no")): "norse",
+    frozenset(("el", "tr")): "aegean",
+    frozenset(("en", "fr")): "laurentia",
+    frozenset(("af", "en")): "southafrica",
+    frozenset(("be", "ru")): "polesia",
 }
 
 for _fs, _key in RULE_CONTEXTS.items():

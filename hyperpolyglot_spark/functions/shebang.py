@@ -25,35 +25,140 @@ from __future__ import annotations
 import re
 
 # interpreter -> candidate languages (1:N), the INTERPRETERS map analog
-# (compiled from languages.yml by reference codegen.rs:258-288; this is
-# a representative slice, extensible the same way).
+# (compiled from languages.yml by reference codegen.rs:258-288; entries
+# drawn from the public github-linguist interpreter lists, extensible
+# the same way).
 INTERPRETER_LANGS: dict[str, tuple[str, ...]] = {
+    # Python family
     "python": ("Python",),
     "python2": ("Python",),
     "python3": ("Python",),
+    "pypy": ("Python",),
+    "pypy3": ("Python",),
+    # JavaScript / TypeScript runtimes
     "node": ("JavaScript",),
     "nodejs": ("JavaScript",),
+    "bun": ("JavaScript", "TypeScript"),
+    "qjs": ("JavaScript",),
+    "rhino": ("JavaScript",),
+    "v8": ("JavaScript",),
     "deno": ("TypeScript",),
+    "ts-node": ("TypeScript",),
+    # shells
     "sh": ("Shell",),
     "bash": ("Shell",),
     "zsh": ("Shell",),
     "dash": ("Shell",),
+    "ash": ("Shell",),
+    "ksh": ("Shell",),
+    "mksh": ("Shell",),
+    "pdksh": ("Shell",),
+    "rc": ("Shell",),
+    "csh": ("Tcsh",),
+    "tcsh": ("Tcsh",),
+    "fish": ("fish",),
+    "nu": ("Nushell",),
+    "elvish": ("Elvish",),
+    "pwsh": ("PowerShell",),
+    # Ruby family
     "ruby": ("Ruby",),
+    "jruby": ("Ruby",),
+    "macruby": ("Ruby",),
+    "rake": ("Ruby",),
+    "rbx": ("Ruby",),
+    # Perl / Raku
     "perl": ("Perl", "Raku"),
+    "cperl": ("Perl",),
+    "perl6": ("Raku",),
+    "raku": ("Raku",),
+    "rakudo": ("Raku",),
+    # PHP
     "php": ("PHP",),
-    "Rscript": ("R",),
+    "php5": ("PHP",),
+    "php7": ("PHP",),
+    "php8": ("PHP",),
+    # JVM scripting
     "scala": ("Scala",),
+    "groovy": ("Groovy",),
+    "kotlin": ("Kotlin",),
+    "kscript": ("Kotlin",),
+    "clojure": ("Clojure",),
+    "bb": ("Clojure",),
+    "boot": ("Clojure",),
+    "lein": ("Clojure",),
+    "ioke": ("Ioke",),
+    # Lua
     "lua": ("Lua",),
+    "luajit": ("Lua",),
+    "moon": ("MoonScript",),
+    "fennel": ("Fennel",),
+    # Tcl
     "tclsh": ("Tcl",),
+    "wish": ("Tcl",),
+    # Awk family
     "awk": ("Awk",),
     "gawk": ("Awk",),
-    "parrot": ("Parrot Assembly", "Parrot Internal Representation"),
+    "mawk": ("Awk",),
+    "nawk": ("Awk",),
+    # misc dynamic languages
+    "Rscript": ("R",),
     "julia": ("Julia",),
     "elixir": ("Elixir",),
     "escript": ("Erlang",),
-    "fish": ("fish",),
-    "pwsh": ("PowerShell",),
-    "groovy": ("Groovy",),
+    "crystal": ("Crystal",),
+    "dart": ("Dart",),
+    "swift": ("Swift",),
+    "nim": ("Nim",),
+    "janet": ("Janet",),
+    "jq": ("jq",),
+    "io": ("Io",),
+    "hy": ("Hy",),
+    "pike": ("Pike",),
+    "newlisp": ("NewLisp",),
+    "picolisp": ("PicoLisp",),
+    "pil": ("PicoLisp",),
+    "rexx": ("REXX",),
+    "regina": ("REXX",),
+    "gst": ("Smalltalk",),
+    "coffee": ("CoffeeScript",),
+    "osascript": ("AppleScript",),
+    "expect": ("Expect",),
+    "gnuplot": ("Gnuplot",),
+    "sed": ("sed",),
+    "gsed": ("sed",),
+    "minised": ("sed",),
+    "make": ("Makefile",),
+    "gmake": ("Makefile",),
+    # compiled-language script runners
+    "runghc": ("Haskell",),
+    "runhaskell": ("Haskell",),
+    "runhugs": ("Haskell",),
+    "stack": ("Haskell",),
+    "ocaml": ("OCaml",),
+    "ocamlrun": ("OCaml",),
+    "ocamlscript": ("OCaml",),
+    "sbcl": ("Common Lisp",),
+    "ccl": ("Common Lisp",),
+    "clisp": ("Common Lisp",),
+    "ecl": ("Common Lisp",),
+    "lisp": ("Common Lisp",),
+    "guile": ("Scheme",),
+    "bigloo": ("Scheme",),
+    "csi": ("Scheme",),
+    "chicken": ("Scheme",),
+    "gosh": ("Scheme",),
+    "scheme": ("Scheme",),
+    "racket": ("Racket",),
+    "dmd": ("D",),
+    "ldc": ("D",),
+    "rdmd": ("D",),
+    "tcc": ("C",),
+    "instantfpc": ("Pascal",),
+    "scsynth": ("SuperCollider",),
+    "sclang": ("SuperCollider",),
+    "parrot": ("Parrot Assembly", "Parrot Internal Representation"),
+    "cwl-runner": ("Common Workflow Language",),
+    "qmake": ("QMake",),
 }
 
 _EXEC_HACK_RE = re.compile(r"exec (\w+).+\$0.+\$@")

@@ -1,0 +1,99 @@
+"""Round-3 breadth: per-context decisive-sample tests for the 31
+contexts added on top of the round-2 table (72 total vs the
+reference's 69 heuristics.yml blocks). Each case is (context key,
+text, expected languages); the last case per context exercises the
+pattern-less default. Pure Python — the JVM column form is held to
+the same spec by tests/test_jvm_parity.py's row-by-row cascade
+parity."""
+
+import pytest
+
+from hyperpolyglot_spark.functions.rules import (
+    DISAMBIGUATION_RULES,
+    RULE_CONTEXTS,
+    apply_rules,
+)
+
+CASES = [
+    ("hellenic", "αυτό είναι ελληνικό κείμενο", ["el"]),
+    ("hellenic", "the weather with them", ["en"]),
+    ("hellenic", "1234 5678", ["el", "en"]),
+    ("siam", "ภาษาไทยสวยงาม", ["th"]),
+    ("siam", "the weather with them", ["en"]),
+    ("annam", "tiếng việt của chúng tôi", ["vi"]),
+    ("annam", "không có gì", ["vi"]),
+    ("annam", "the weather report", ["en"]),
+    ("pannonia", "és nem tudom hogy", ["hu"]),
+    ("pannonia", "jól sikerült a műsor", ["hu"]),
+    ("pannonia", "pentru că este bine", ["ro"]),
+    ("eastromance", "și pentru toți", ["ro"]),
+    ("eastromance", "della vita perché", ["it"]),
+    ("westslavic", "żółta łódź", ["pl"]),
+    ("westslavic", "se že ano", ["cs"]),
+    ("westslavic", "řeka běží", ["cs"]),
+    ("galicia", "це текст українською", ["uk"]),
+    ("galicia", "to się jest nie", ["pl"]),
+    ("illyrian", "dhe për të gjithë", ["sq"]),
+    ("bengal", "বাংলা ভাষা", ["bn"]),
+    ("andhra", "తెలుగు భాష", ["te"]),
+    ("kerala", "മലയാളം ഭാഷ", ["ml"]),
+    ("nippon", "これは日本語のテキストです", ["ja"]),
+    ("hanguk", "한국어 텍스트입니다", ["ko"]),
+    ("sino", "这是中文文本", ["zh"]),
+    ("runet", "это русский текст", ["ru"]),
+    ("mashreq", "هذا نص عربي", ["ar"]),
+    ("anatolia", "bu bir türkçe metin ve daha fazlası", ["tr"]),
+    ("iran", "این متن فارسی است", ["fa"]),
+    ("israel", "זהו טקסט בעברית", ["he"]),
+    ("nusantara", "teks yang ditulis dengan baik", ["id"]),
+    ("nusantara", "the text with they", ["en"]),
+    ("rhine", "die straße ist lang", ["de"]),
+    ("rhine", "und so weiter", ["de"]),
+    ("rhine", "het is een huis", ["nl"]),
+    ("alpine", "dans les rues avec", ["fr"]),
+    ("alpine", "della città perché", ["it"]),
+    ("pyrenees", "más que usted pero", ["es"]),
+    ("pyrenees", "avec les amis", ["fr"]),
+    ("mediterranean", "usted pero más", ["es"]),
+    ("mediterranean", "perché della vita", ["it"]),
+    ("lusitalic", "você também não", ["pt"]),
+    ("lusitalic", "che perché della", ["it"]),
+    ("balticrim", "see on hõlpsasti võimalik", ["et"]),
+    ("balticrim", "koska että myös", ["fi"]),
+    ("balticrim", "och det är bra", ["sv"]),
+    ("norse", "þetta er íslenska", ["is"]),
+    ("norse", "av norge fordi ikke", ["no"]),
+    ("aegean", "ελληνικά εδώ", ["el"]),
+    ("aegean", "türkçe ve metin için", ["tr"]),
+    ("laurentia", "dans les rues avec", ["fr"]),
+    ("laurentia", "the road with them", ["en"]),
+    ("southafrica", "dit is nie die einde van alles", ["af"]),
+    ("southafrica", "the end with them", ["en"]),
+    ("polesia", "гэта беларуская мова і не", ["be"]),
+    ("polesia", "потому что это хорошо", ["ru"]),
+]
+
+
+@pytest.mark.parametrize("key,text,expected", CASES)
+def test_decisive_sample(key, text, expected):
+    cands = sorted(
+        next(fs for fs, k in RULE_CONTEXTS.items() if k == key)
+    )
+    assert apply_rules(DISAMBIGUATION_RULES[key], cands, text) == expected
+
+
+def test_every_context_has_reachable_outcome():
+    """On neutral text every table either stays ambiguous via its
+    default rule or returns [] (falls through to the classifier) —
+    no table may raise or return languages outside its context."""
+    for fs, key in RULE_CONTEXTS.items():
+        out = apply_rules(DISAMBIGUATION_RULES[key], sorted(fs), "0 1 2")
+        assert set(out) <= fs, key
+
+
+def test_every_multicandidate_tld_has_context():
+    from hyperpolyglot_spark.functions.langdata import TLD_LANGS
+
+    for tld, langs in TLD_LANGS.items():
+        if len(langs) > 1:
+            assert frozenset(langs) in RULE_CONTEXTS, tld
