@@ -51,7 +51,20 @@ _UNIQUE_TLD = {"en": "uk", "de": "de", "fr": "fr", "it": "it",
                "tl": "ph", "sw": "tz", "af": "za", "ca": "ad",
                "gl": "es", "eu": "es", "is": "is", "ga": "ie",
                "cy": "uk", "sq": "al", "mk": "mk", "az": "az",
-               "kk": "kz", "ka": "ge", "hy": "am", "be": "by"}
+               "kk": "kz", "ka": "ge", "hy": "am", "be": "by",
+               # breadth block 2. Languages without an entry here fall
+               # back to the neutral gTLDs (their TLD carries no
+               # signal, so they exercise later cascade stages / the
+               # classifier — the realistic shape for minority
+               # languages on the web).
+               "ne": "np", "pa": "in", "gu": "in", "kn": "in",
+               "or": "in", "si": "lk", "km": "kh", "lo": "la",
+               "my": "mm", "am": "et", "mn": "mn", "ky": "kg",
+               "tg": "tj", "ps": "af", "mt": "mt", "lb": "lu",
+               "fy": "frl", "fo": "fo", "br": "bzh", "ht": "ht",
+               "yo": "ng", "ig": "ng", "ha": "ng", "so": "so",
+               "sn": "zw", "rw": "rw", "mg": "mg", "uz": "uz",
+               "tk": "tm", "ku": "krd", "la": "va"}
 _AMBIG_TLD = {"en": ("ca", "in", "ie", "sg", "za"),
               "de": ("ch", "nl", "at"),
               "fr": ("ch", "be", "ca"),
@@ -121,9 +134,10 @@ def _pick_host(rng: random.Random, lang: str) -> str:
         return "portal.example.com"
     roll = rng.random()
     opts = _AMBIG_TLD.get(lang, ())
-    if roll < 0.45 or (roll < 0.65 and not opts):
-        tld = _UNIQUE_TLD[lang]
-    elif roll < 0.65:
+    cc = _UNIQUE_TLD.get(lang)
+    if cc is not None and (roll < 0.45 or (roll < 0.65 and not opts)):
+        tld = cc
+    elif opts and roll < 0.65:
         tld = opts[rng.randrange(len(opts))]
     else:
         tld = _NEUTRAL_TLD[rng.randrange(len(_NEUTRAL_TLD))]

@@ -58,7 +58,9 @@ def text_grams(text: str) -> list[str]:
 # trigram crosses a space the model never saw and the scorer
 # degenerates to the all-DEFAULT_LOG_PROB tie (measured on the
 # real-text fixture: zh/ja dict-NB accuracy 0 -> 1 with this fix)
-_NO_SPACE_SCRIPTS = frozenset(("han", "kanji_kana", "thai"))
+_NO_SPACE_SCRIPTS = frozenset(
+    ("han", "kanji_kana", "thai", "khmer", "lao", "myanmar", "tibetan")
+)
 
 
 def _lang_sep(lang: str) -> str:

@@ -30,7 +30,7 @@ from .langdata import ALL_STOPWORDS
 # under Python re and Java regex (explicit literal ranges, no \w).
 _SYMBOL_CLASS = (
     "[^A-Za-z0-9\\s"
-    "À-ɏ"  # latin-1 supplement + extended A/B (diacritics)
+    "À-ʯ"  # latin-1 supplement + extended A/B + IPA (ə, hausa ɓɗ)
     "Ͱ-Ͽ"  # greek
     "Ѐ-ӿ"  # cyrillic
     "԰-֏"  # armenian
@@ -38,12 +38,22 @@ _SYMBOL_CLASS = (
     "؀-ۿ"  # arabic
     "ऀ-ॿ"  # devanagari
     "ঀ-৿"  # bengali
+    "਀-੿"  # gurmukhi
+    "઀-૿"  # gujarati
+    "଀-୿"  # odia
     "஀-௿"  # tamil
     "ఀ-౿"  # telugu
+    "ಀ-೿"  # kannada
     "ഀ-ൿ"  # malayalam
+    "඀-෿"  # sinhala
     "฀-๿"  # thai
+    "຀-໿"  # lao
+    "ༀ-࿿"  # tibetan
+    "က-႟"  # myanmar
     "Ⴀ-ჿ"  # georgian
-    "Ḁ-ỿ"  # latin extended additional (vietnamese)
+    "ሀ-፿"  # ethiopic
+    "ក-៿"  # khmer
+    "Ḁ-ỿ"  # latin extended additional (vietnamese, yoruba/igbo dots)
     "぀-ヿ"  # hiragana + katakana
     "一-鿿"  # cjk unified ideographs
     "가-힯"  # hangul syllables
@@ -59,7 +69,7 @@ _WS_SPLIT_RE = re.compile(r"[ \t\n\r\f\x0b]+")
 # repetition reads ~0 regardless of content. Docs with
 # spaceless_ratio > 0.5 get CHAR-based equivalents instead (the CCNet/
 # Gopher-style CJK special-case every real web filter needs).
-_SPACELESS_CLASS = "[぀-ヿ一-鿿฀-๿]"
+_SPACELESS_CLASS = "[぀-ヿ一-鿿฀-๿ក-៿຀-໿က-႟ༀ-࿿]"
 _SPACELESS_RE = re.compile(_SPACELESS_CLASS)
 SPACELESS_THRESHOLD = 0.5
 _REP_CHAR_N = 3

@@ -155,9 +155,10 @@ def _neg(*words: str) -> Negative:
 
 
 # Round-3 breadth: the extended context tables below push coverage from
-# 7 to 72 candidate-set contexts (vs heuristics.yml's 69 per-key
+# 7 to 90 candidate-set contexts (vs heuristics.yml's 69 per-key
 # blocks, reference heuristics.yml:30-530; every multi-candidate TLD
-# set in TLD_LANGS has a context). Shared-script pairs get
+# and CMS-group-tag set in the dims has a context). Shared-script
+# pairs get
 # word-level And/Or/Negative ladders; distinct-script members resolve
 # on script ranges — the same Positive/Negative split the reference
 # uses for e.g. .h (C/C++/ObjC) vs .es (Erlang/JavaScript).
@@ -363,10 +364,10 @@ DISAMBIGUATION_RULES.update({
     ],
 })
 
-# Round-3 (cont.): 31 further contexts take the table to 72 (vs
-# heuristics.yml's 69 per-key blocks). Distinct-script members
-# resolve on a script-range Positive; shared-script pairs get
-# And/Or/Negative stopword ladders.
+# Round-3 (cont.): 31 further contexts (then 18 more for the
+# 102-language universe below — 90 total vs heuristics.yml's 69
+# per-key blocks). Distinct-script members resolve on a script-range
+# Positive; shared-script pairs get And/Or/Negative stopword ladders.
 _EN = _pos("the", "with", "they")
 
 DISAMBIGUATION_RULES.update({
@@ -542,6 +543,128 @@ DISAMBIGUATION_RULES.update({
     ],
 })
 
+# Breadth block 2 (102-language universe): contexts for the new
+# ambiguous TLD / CMS-group candidate sets. Distinct scripts resolve on
+# a range Positive; same-script members get stopword ladders.
+DISAMBIGUATION_RULES.update({
+    # .in with the full 12-language candidate list: eight scripts plus
+    # four same-script pairs (hi/mr devanagari, ur arabic, en latin)
+    "india12": [
+        Rule(("pa",), Positive(r"[਀-੿]")),
+        Rule(("gu",), Positive(r"[઀-૿]")),
+        Rule(("or",), Positive(r"[଀-୿]")),
+        Rule(("kn",), Positive(r"[ಀ-೿]")),
+        Rule(("ta",), Positive(r"[஀-௿]")),
+        Rule(("te",), Positive(r"[ఀ-౿]")),
+        Rule(("ml",), Positive(r"[ഀ-ൿ]")),
+        Rule(("bn",), Positive(r"[ঀ-৿]")),
+        Rule(("ur",), Positive(r"[ٹڈڑہے]")),
+        Rule(("mr",), _pos("आहे", "आणि", "मध्ये")),
+        Rule(("hi",), Positive(r"[ऀ-ॿ]")),
+        Rule(("en",), _EN),
+        Rule(("hi", "en")),  # default: the two dominant candidates
+    ],
+    "breizh": [
+        Rule(("br",), _pos("ket", "gant", "evit")),
+        Rule(("fr",), _pos("les", "avec", "dans")),
+        Rule(("br", "fr")),
+    ],
+    "letzebuerg": [
+        Rule(("lb",), _pos("awer", "tëschent", "vun")),
+        Rule(("de",), Or((Positive(r"ß"), _pos("und", "nicht")))),
+        Rule(("fr",), _pos("les", "avec", "dans")),
+        Rule(("de", "fr", "lb")),
+    ],
+    "malta": [
+        Rule(("mt",), Or((Positive(r"[ħġ]"), _pos("għal", "ħafna")))),
+        Rule(("en",), _EN),
+        Rule(("mt", "en")),
+    ],
+    "rwanda": [
+        Rule(("rw",), _pos("ariko", "cyangwa", "hagati")),
+        Rule(("en",), _EN),
+        Rule(("rw", "en")),
+    ],
+    "lanka3": [
+        Rule(("si",), Positive(r"[඀-෿]")),
+        Rule(("ta",), Positive(r"[஀-௿]")),
+        Rule(("en",), _EN),
+        Rule(("si", "ta", "en")),
+    ],
+    "zimbabwe": [
+        Rule(("sn",), _pos("uye", "kuti", "asi")),
+        Rule(("en",), _EN),
+        Rule(("sn", "en")),
+    ],
+    # .af: Pashto-only letters vs Persian-only letters
+    "khorasan": [
+        Rule(("ps",), Positive(r"[ګڼښړ]")),
+        Rule(("fa",), Positive(r"[پچژگ]")),
+        Rule(("ps", "fa")),
+    ],
+    "kreyol": [
+        Rule(("ht",), _pos("nan", "mwen", "anpil")),
+        Rule(("fr",), _pos("les", "avec", "dans")),
+        Rule(("ht", "fr")),
+    ],
+    "madagascar": [
+        Rule(("mg",), _pos("izay", "rehetra", "tsy")),
+        Rule(("fr",), _pos("les", "avec", "dans")),
+        Rule(("mg", "fr")),
+    ],
+    "friesland": [
+        Rule(("fy",), _pos("yn", "wrâld", "binne")),
+        Rule(("nl",), Or((_pos("het"), _pos("een")))),
+        Rule(("fy", "nl")),
+    ],
+    # .ng: Yoruba tonal stopwords, Igbo dotted vowels, Hausa hooked
+    # consonants
+    "naija": [
+        Rule(("yo",), _pos("àti", "jẹ́", "ṣùgbọ́n")),
+        Rule(("ig",), Or((Positive(r"[ịụ]"), _pos("nke", "mana")))),
+        Rule(("ha",), Or((Positive(r"[ɓɗƙ]"), _pos("amma", "kuma")))),
+        Rule(("yo", "ig", "ha")),
+    ],
+    # .va: Latin function words vs Italian function words
+    "latium": [
+        Rule(("la",), _pos("est", "quod", "sed")),
+        Rule(("it",), _pos("della", "perché", "che")),
+        Rule(("la", "it")),
+    ],
+    "kirghiz": [
+        Rule(("ky",), _pos("жана", "менен", "анткени")),
+        Rule(("ru",), _pos("что", "это", "потому")),
+        Rule(("ky", "ru")),
+    ],
+    "pamir": [
+        Rule(("tg",), Positive(r"[ҷӣӯ]")),
+        Rule(("ru",), _pos("что", "это", "потому")),
+        Rule(("tg", "ru")),
+    ],
+    # .uz: script decides (Uzbek is Latin-script, Russian Cyrillic)
+    "turkestan": [
+        Rule(("uz",), _pos("uchun", "bilan", "emas")),
+        Rule(("ru",), Positive(r"[а-я]")),
+        Rule(("uz", "ru")),
+    ],
+    # sloppy 'slavic' CMS tag: Cyrillic decides ru; ł/ż vs ř/ě split
+    # the Latin pair
+    "slavic3": [
+        Rule(("ru",), Positive(r"[а-я]")),
+        Rule(("pl",), Or((Positive(r"[łż]"), _pos("się", "jest")))),
+        Rule(("cs",), Or((Positive(r"[řě]"), _pos("se", "že")))),
+        Rule(("ru", "pl", "cs")),
+    ],
+    # sloppy 'romance' CMS tag
+    "romance4": [
+        Rule(("pt",), _pos("não", "você", "também")),
+        Rule(("es",), _pos("más", "usted", "pero")),
+        Rule(("fr",), _pos("les", "avec", "dans")),
+        Rule(("it",), _pos("della", "perché", "che")),
+        Rule(("es", "fr", "it", "pt")),
+    ],
+})
+
 # Dispatch: exact candidate-set -> rule table. The cascade consults the
 # table for a known context and falls back to the per-language marker
 # filter otherwise (operators/cascade.py). Keying on the EXACT set
@@ -620,6 +743,25 @@ RULE_CONTEXTS: dict[frozenset[str], str] = {
     frozenset(("en", "fr")): "laurentia",
     frozenset(("af", "en")): "southafrica",
     frozenset(("be", "ru")): "polesia",
+    frozenset(("hi", "en", "ta", "te", "ml", "mr", "bn", "ur",
+               "pa", "gu", "kn", "or")): "india12",
+    frozenset(("br", "fr")): "breizh",
+    frozenset(("de", "fr", "lb")): "letzebuerg",
+    frozenset(("mt", "en")): "malta",
+    frozenset(("rw", "en")): "rwanda",
+    frozenset(("si", "ta", "en")): "lanka3",
+    frozenset(("sn", "en")): "zimbabwe",
+    frozenset(("ps", "fa")): "khorasan",
+    frozenset(("ht", "fr")): "kreyol",
+    frozenset(("mg", "fr")): "madagascar",
+    frozenset(("fy", "nl")): "friesland",
+    frozenset(("yo", "ig", "ha")): "naija",
+    frozenset(("la", "it")): "latium",
+    frozenset(("ky", "ru")): "kirghiz",
+    frozenset(("tg", "ru")): "pamir",
+    frozenset(("uz", "ru")): "turkestan",
+    frozenset(("ru", "pl", "cs")): "slavic3",
+    frozenset(("es", "fr", "it", "pt")): "romance4",
 }
 
 for _fs, _key in RULE_CONTEXTS.items():

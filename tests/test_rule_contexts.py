@@ -71,6 +71,51 @@ CASES = [
     ("southafrica", "the end with them", ["en"]),
     ("polesia", "гэта беларуская мова і не", ["be"]),
     ("polesia", "потому что это хорошо", ["ru"]),
+    # 102-language universe contexts
+    ("india12", "ਪੰਜਾਬੀ ਭਾਸ਼ਾ", ["pa"]),
+    ("india12", "ગુજરાતી ભાષા", ["gu"]),
+    ("india12", "ଓଡ଼ିଆ ଭାଷା", ["or"]),
+    ("india12", "ಕನ್ನಡ ಭಾಷೆ", ["kn"]),
+    ("india12", "தமிழ் மொழி", ["ta"]),
+    ("india12", "यह हिंदी में है", ["hi"]),
+    ("india12", "the text with them", ["en"]),
+    ("india12", "12345", ["hi", "en"]),
+    ("breizh", "n'eo ket brezhoneg gant an dud", ["br"]),
+    ("breizh", "dans les rues avec", ["fr"]),
+    ("letzebuerg", "awer et ass tëschent dem duerf", ["lb"]),
+    ("letzebuerg", "die straße und so", ["de"]),
+    ("letzebuerg", "dans les rues avec", ["fr"]),
+    ("malta", "din hija ħaġa sabiħa", ["mt"]),
+    ("malta", "the road with them", ["en"]),
+    ("rwanda", "ariko cyangwa hagati yabyo", ["rw"]),
+    ("lanka3", "සිංහල භාෂාව", ["si"]),
+    ("lanka3", "தமிழ் மொழி", ["ta"]),
+    ("lanka3", "the road with them", ["en"]),
+    ("zimbabwe", "uye kuti asi zvakanaka", ["sn"]),
+    ("khorasan", "دا ښار ډېر ښکلی دی", ["ps"]),
+    ("khorasan", "این شهر بزرگ است", ["fa"]),
+    ("kreyol", "mwen rete nan vil la anpil", ["ht"]),
+    ("kreyol", "dans les rues avec", ["fr"]),
+    ("madagascar", "izay tsy misy olona rehetra", ["mg"]),
+    ("friesland", "dat is yn de wrâld", ["fy"]),
+    ("friesland", "het is een huis", ["nl"]),
+    ("naija", "àti pé ó dára", ["yo"]),
+    ("naija", "ihe nke ọma mana ọ dị", ["ig"]),
+    ("naija", "amma kuma yana da kyau ƙwarai", ["ha"]),
+    ("latium", "sed quod est verum", ["la"]),
+    ("latium", "della vita perché", ["it"]),
+    ("kirghiz", "жана менен анткени жакшы", ["ky"]),
+    ("kirghiz", "потому что это хорошо", ["ru"]),
+    ("pamir", "ҷаҳон ва кӯҳҳо", ["tg"]),
+    ("turkestan", "bu uchun yaxshi emas", ["uz"]),
+    ("turkestan", "это русский текст", ["ru"]),
+    ("slavic3", "это русский текст", ["ru"]),
+    ("slavic3", "żółta łódź jest", ["pl"]),
+    ("slavic3", "protože se řeka běží", ["cs"]),
+    ("romance4", "você também não", ["pt"]),
+    ("romance4", "más que usted pero", ["es"]),
+    ("romance4", "dans les rues avec", ["fr"]),
+    ("romance4", "della vita perché", ["it"]),
 ]
 
 
@@ -97,3 +142,11 @@ def test_every_multicandidate_tld_has_context():
     for tld, langs in TLD_LANGS.items():
         if len(langs) > 1:
             assert frozenset(langs) in RULE_CONTEXTS, tld
+
+
+def test_every_multicandidate_meta_tag_has_context():
+    from hyperpolyglot_spark.functions.langdata import META_LANG_CANDS
+
+    for tag, langs in META_LANG_CANDS.items():
+        if len(langs) > 1:
+            assert frozenset(langs) in RULE_CONTEXTS, tag
