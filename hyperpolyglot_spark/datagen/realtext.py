@@ -459,4 +459,31 @@ REAL_TEXT: dict[str, tuple[str, ...]] = {
         "มันให้คำถามที่ดีกว่า และประวัติของการค้นพบทุกครั้งแสดงให้เห็นว่า "
         "คำถามที่ดีสามารถรอคนที่จริงจังกับมันได้นานเพียงใด",
     ),
+    # breadth block 2 additions (102-language universe)
+    "eo": (
+        "La pluvo komenciĝis frue en la mateno kaj ne ĉesis ĝis "
+        "malfrue en la vespero, do la infanoj restis en la domo kaj "
+        "legis siajn librojn ĉe la fenestro dum la akvo fluis sur la "
+        "vitro.",
+        "Ĉiun sabaton la malnova merkato en la mezo de la urbo "
+        "pleniĝas per homoj kiuj venas por aĉeti panon, fiŝojn kaj "
+        "legomojn, kaj la vendistoj krias siajn prezojn malantaŭ la "
+        "lignaj tabloj.",
+        "La scienco ne donas al ni finajn respondojn; ĝi donas al ni "
+        "pli bonajn demandojn, kaj la historio de ĉiu malkovro "
+        "montras kiom longe bona demando povas atendi la homon kiu "
+        "prenas ĝin serioze.",
+    ),
+    "la": (
+        "Pluvia mane incepit nec ante vesperum cessavit, itaque "
+        "liberi in domo manserunt et libros suos ad fenestram "
+        "legerunt dum aqua per vitrum fluebat.",
+        "Omni sabbato forum vetus in media urbe hominibus completur "
+        "qui panem, pisces et holera emere veniunt, et venditores "
+        "pretia sua post mensas ligneas clamant.",
+        "Scientia nobis responsa ultima non dat sed quaestiones "
+        "meliores, et historia omnium inventorum monstrat quam diu "
+        "quaestio bona hominem exspectare possit qui eam serio "
+        "accipiat.",
+    ),
 }
