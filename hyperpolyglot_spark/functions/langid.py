@@ -411,8 +411,17 @@ def default_hashed_model() -> HashedModel:
     return _DEFAULT_HASHED_MODEL
 
 
-_KEY_BUCKET_CACHE: dict[int, int] = {}
 _KEY_MASK = (1 << 21) - 1
+
+# gram-key -> bucket memo, two tiers: a SORTED numpy snapshot (warm
+# lookups are one vectorized searchsorted, no Python loop) plus a dict
+# overlay for keys seen since the last merge. Bounded at ~200k entries
+# (~20 MB/worker) like the round-2 dict cache it replaces.
+_KB_SORTED_KEYS: np.ndarray = np.empty(0, dtype=np.int64)
+_KB_SORTED_VALS: np.ndarray = np.empty(0, dtype=np.int64)
+_KB_OVERLAY: dict[int, int] = {}
+_KB_MERGE_AT = 4096
+_KB_MAX = 200_000
 
 
 def _packed_grams(text: str) -> tuple[np.ndarray, np.ndarray] | None:
@@ -429,49 +438,91 @@ def _packed_grams(text: str) -> tuple[np.ndarray, np.ndarray] | None:
 
 def _keys_to_buckets(uk: np.ndarray) -> np.ndarray:
     """Packed gram keys -> hashed buckets, memoized on the int key (the
-    md5 runs only on first sight of a gram)."""
+    md5 runs only on first sight of a gram). Warm keys resolve with one
+    searchsorted against the sorted snapshot; only misses fall to the
+    Python loop, and the overlay merges into the snapshot in bulk."""
+    global _KB_SORTED_KEYS, _KB_SORTED_VALS
     out = np.empty(len(uk), dtype=np.int64)
-    cache = _KEY_BUCKET_CACHE
-    if len(cache) > 200_000:
-        cache.clear()
-    for i in range(len(uk)):
-        k = int(uk[i])
-        b = cache.get(k)
-        if b is None:
-            g = chr(k >> 42) + chr((k >> 21) & _KEY_MASK) + chr(k & _KEY_MASK)
-            b = gram_bucket(g)
-            cache[k] = b
-        out[i] = b
+    n = len(_KB_SORTED_KEYS)
+    if n:
+        pos = np.minimum(np.searchsorted(_KB_SORTED_KEYS, uk), n - 1)
+        hit = _KB_SORTED_KEYS[pos] == uk
+        out[hit] = _KB_SORTED_VALS[pos[hit]]
+        miss = np.nonzero(~hit)[0]
+    else:
+        miss = np.arange(len(uk))
+    if len(miss):
+        ov = _KB_OVERLAY
+        for i in miss:
+            k = int(uk[i])
+            b = ov.get(k)
+            if b is None:
+                g = chr(k >> 42) + chr((k >> 21) & _KEY_MASK) + chr(k & _KEY_MASK)
+                b = gram_bucket(g)
+                ov[k] = b
+            out[i] = b
+        if len(ov) > _KB_MERGE_AT:
+            if n + len(ov) > _KB_MAX:
+                n = 0  # drop the old snapshot; keep the recent overlay
+                _KB_SORTED_KEYS = _KB_SORTED_KEYS[:0]
+                _KB_SORTED_VALS = _KB_SORTED_VALS[:0]
+            ks = np.fromiter(ov.keys(), np.int64, len(ov))
+            vs = np.fromiter(ov.values(), np.int64, len(ov))
+            allk = np.concatenate([_KB_SORTED_KEYS, ks])
+            allv = np.concatenate([_KB_SORTED_VALS, vs])
+            order = np.argsort(allk, kind="stable")
+            _KB_SORTED_KEYS = allk[order]
+            _KB_SORTED_VALS = allv[order]
+            ov.clear()
     return out
+
+
+_HM_MATRIX: tuple[HashedModel, np.ndarray, dict[str, int]] | None = None
+
+
+def _hashed_matrix(model: HashedModel) -> tuple[np.ndarray, dict[str, int]]:
+    """Stack the model's per-lang vectors ONCE into a (buckets x
+    n_langs) transposed matrix, cached on model IDENTITY (the cache
+    holds the model reference, so an `is` hit can never be a recycled
+    address — the perplexity scorer-cache pattern): per-doc scoring is
+    then one contiguous row-gather + one matvec for ALL languages
+    instead of a Python loop of per-lang gathers."""
+    global _HM_MATRIX
+    c = _HM_MATRIX
+    if c is not None and c[0] is model:
+        return c[1], c[2]
+    langs = sorted(model)
+    mt = np.ascontiguousarray(np.stack([model[l] for l in langs], axis=1))
+    lidx = {l: i for i, l in enumerate(langs)}
+    _HM_MATRIX = (model, mt, lidx)
+    return mt, lidx
 
 
 def classify_hashed_py(
     text: str, candidates: list[str] | None, model: HashedModel | None = None
 ) -> str:
     """classify_py semantics over hashed features: same candidate
-    handling, same stable earlier-candidate tie-break, scores from the
-    bucket vectors (numpy unique + gather + dot, vectorized per doc)."""
+    handling, same stable earlier-candidate tie-break (numpy argmax
+    returns the FIRST max). Scores all model languages in one
+    gather+matvec over the transposed bucket matrix, then selects the
+    candidate rows; languages absent from the model score -inf."""
     model = model if model is not None else default_hashed_model()
     cands = list(candidates) if candidates else list(LANGUAGES)
     packed = _packed_grams(text)
-    if packed is not None:
-        uk, cnts = packed
-        idx = _keys_to_buckets(uk)
-    else:
-        idx, cnts = None, None
-    best_lang, best_score = cands[0], float("-inf")
-    first = True
-    for lang in cands:
-        vec = model.get(lang)
-        if vec is None:
-            score = float("-inf")
-        elif idx is None:
-            score = 0.0
-        else:
-            score = float(vec[idx] @ cnts)
-        if first or score > best_score:
-            best_lang, best_score, first = lang, score, False
-    return best_lang
+    if packed is None:
+        # no grams: every present language scores 0.0, absent -inf;
+        # the earliest present candidate wins (or cands[0] if none)
+        for lang in cands:
+            if lang in model:
+                return lang
+        return cands[0]
+    uk, cnts = packed
+    idx = _keys_to_buckets(uk)
+    mt, lidx = _hashed_matrix(model)
+    all_scores = cnts @ mt[idx]
+    rows = np.array([lidx.get(l, -1) for l in cands], dtype=np.int64)
+    scores = np.where(rows >= 0, all_scores[np.maximum(rows, 0)], -np.inf)
+    return cands[int(np.argmax(scores))]
 
 
 # ----------------------------------------------------------------------

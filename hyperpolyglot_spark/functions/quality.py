@@ -85,6 +85,9 @@ _HANGUL_PARTICLE_RE_S = (
     "|까지|부터|처럼|보다)$"
 )
 _HANGUL_PARTICLE_RE = re.compile(_HANGUL_PARTICLE_RE_S)
+# doc-level gate for the per-word particle scan: the particle regex
+# requires [가-힯]+, so a doc with no Hangul syllable can skip it
+_HANGUL_ANY_RE = re.compile("[가-힯]")
 
 # Vendor/boilerplate URL blocklist — the P3/P4 analog of the reference's
 # ~120 vendored-path globs (src/filters/vendor.rs, documentation.rs),
@@ -221,11 +224,21 @@ def py_signals(text: str, url: str = "") -> dict[str, float]:
         if not n_grams
         else 1.0 - len(set(zip(words, words[1:], words[2:]))) / n_grams
     )
-    # exact stopword match OR hangul-particle suffix (agglutinative ko)
-    n_stop = sum(
-        w.lower() in ALL_STOPWORDS or _HANGUL_PARTICLE_RE.search(w) is not None
-        for w in words
-    )
+    # exact stopword match OR hangul-particle suffix (agglutinative ko).
+    # The particle regex can only match words containing Hangul
+    # syllables, so gate it on ONE doc-level scan; the common
+    # (non-Korean) case is then a pure C-level map/sum pipeline.
+    if _HANGUL_ANY_RE.search(text) is None:
+        n_stop = sum(map(ALL_STOPWORDS.__contains__, map(str.lower, words)))
+    else:
+        lows = list(map(str.lower, words))
+        n_stop = sum(map(ALL_STOPWORDS.__contains__, lows))
+        search = _HANGUL_PARTICLE_RE.search
+        n_stop += sum(
+            1
+            for w, lw in zip(words, lows)
+            if lw not in ALL_STOPWORDS and search(w) is not None
+        )
     n_spaceless = len(_SPACELESS_RE.findall(text))
     spaceless_ratio = n_spaceless / max(1, n_chars)
     spaceless = spaceless_ratio > SPACELESS_THRESHOLD
