@@ -150,3 +150,29 @@ def test_every_multicandidate_meta_tag_has_context():
     for tag, langs in META_LANG_CANDS.items():
         if len(langs) > 1:
             assert frozenset(langs) in RULE_CONTEXTS, tag
+
+
+def test_all_dim_tables_reference_known_languages():
+    """Referential integrity across every dimension table: a hint that
+    emits a code outside LANGUAGES silently poisons lang_pred (caught
+    live: 'br'->'br-fr', 'tk'->'tk-tm', 'la'->'la-va' — the
+    locale-suffixed KEY written as the VALUE; the oracle shares the
+    table, so only this test can see it)."""
+    from hyperpolyglot_spark.functions.langdata import (
+        LANGUAGES,
+        META_LANG_CANDS,
+        TLD_LANGS,
+        URL_LANG_HINTS,
+    )
+
+    known = set(LANGUAGES)
+    assert set(URL_LANG_HINTS.values()) <= known
+    for tag, langs in META_LANG_CANDS.items():
+        assert set(langs) <= known, tag
+    for tld, langs in TLD_LANGS.items():
+        assert set(langs) <= known, tld
+    for fs in RULE_CONTEXTS:
+        assert set(fs) <= known, fs
+    # INTERPRETER_LANGS is deliberately NOT checked here: it is the
+    # reference's shebang domain (programming-language names), a
+    # separate universe from the web-pipeline natural-language codes.
