@@ -28,10 +28,15 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.quality import RULES_WITH_PPL
 from .pipeline import run_pipeline
 
 MANIFEST_DIR = "_manifest"
 LABELS_DIR = "labels"
+
+# dropped-by-rule manifest columns, one per ladder rule (north rule:
+# metrics rows carry docs seen, kept, DROPPED-BY-RULE, scrub counts)
+_DROP_COLS = tuple(f"drop_{rule_id}" for rule_id, _, _, _ in RULES_WITH_PPL)
 
 
 def bucket_col(url_col: str = "url", n_buckets: int = 32):
@@ -107,19 +112,27 @@ def run_with_resume(
                     F.sum(F.coalesce("scrub_toxicity", F.lit(0))).alias(
                         "scrub_toxicity"
                     ),
+                    *(
+                        F.sum(
+                            (F.col("drop_rule") == rule_id).cast("long")
+                        ).alias(f"drop_{rule_id}")
+                        for rule_id, _, _, _ in RULES_WITH_PPL
+                    ),
                 )
             )
             lineage = group_df.join(agg, "bucket", "left")
         except AnalysisException:  # no labels written yet (all-empty group)
             lineage = group_df.select(
                 "bucket",
-                F.lit(None).cast("long").alias("docs"),
-                F.lit(None).cast("long").alias("kept"),
-                F.lit(None).cast("long").alias("scrub_email"),
-                F.lit(None).cast("long").alias("scrub_toxicity"),
+                *(
+                    F.lit(None).cast("long").alias(c)
+                    for c in ("docs", "kept", "scrub_email", "scrub_toxicity")
+                    + _DROP_COLS
+                ),
             )
         lineage = lineage.na.fill(
-            0, ["docs", "kept", "scrub_email", "scrub_toxicity"]
+            0,
+            ["docs", "kept", "scrub_email", "scrub_toxicity", *_DROP_COLS],
         )
         lineage.write.mode("append").parquet(manifest_path)
     return len(groups)

@@ -67,6 +67,16 @@ def test_resume_after_kill(spark, tmp_path):
     assert all(r["count"] == 1 for r in rows)
     assert manifest.groupBy().sum("docs").collect()[0][0] == N
 
+    # dropped-by-rule columns reconcile per bucket: docs - kept equals
+    # the sum of the per-rule drop counts (north rule: metrics rows
+    # carry docs seen, kept, dropped-by-rule, scrub counts)
+    from hyperpolyglot_spark.plans.resume import _DROP_COLS
+
+    for r in manifest.collect():
+        assert r["docs"] - r["kept"] == sum(r[c] for c in _DROP_COLS), (
+            r["bucket"]
+        )
+
 
 def test_resume_converges_with_empty_buckets(spark, tmp_path):
     """More buckets than documents: empty buckets must still get a
