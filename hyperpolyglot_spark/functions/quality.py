@@ -304,20 +304,22 @@ def py_keep_drop(
 # Spark column expressions (the distributed implementation)
 # ======================================================================
 
-_STOP_MAP = None  # built lazily so import works without a session
+_STOP_ARRAY = None  # built lazily so import works without a session
 
 
-def _stop_map() -> Column:
-    """Stopword membership as a MAP literal: per-word lookup is a hash
-    probe, not a 150-way array scan (higher-order-function lambdas are
-    interpreted, not codegen'd — keep per-element work O(1))."""
-    global _STOP_MAP
-    if _STOP_MAP is None:
-        pairs = []
-        for w in sorted(ALL_STOPWORDS):
-            pairs.extend([F.lit(w), F.lit(True)])
-        _STOP_MAP = F.create_map(*pairs)
-    return _STOP_MAP
+def _stop_array() -> Column:
+    """The stopword set as an ARRAY literal, consumed by array_intersect.
+
+    NOT a map literal probed per word: Spark's GetMapValue on a literal
+    map is a LINEAR key scan, so at 102 languages (~2.9k stopwords) a
+    per-word probe cost 2.9k comparisons x words x rows — the 24->102
+    widening made the ladder 4x slower. array_intersect instead builds
+    one hash set per ROW (O(stops + words)), and per-word membership
+    then scans only the <=dozens matched stopwords."""
+    global _STOP_ARRAY
+    if _STOP_ARRAY is None:
+        _STOP_ARRAY = F.array(*[F.lit(w) for w in sorted(ALL_STOPWORDS)])
+    return _STOP_ARRAY
 
 
 def words_col(text: Column) -> Column:
@@ -350,11 +352,28 @@ def with_quality_signals(
     ).otherwise(F.lit(0.0))
     n_chars = F.length(t)
     n_sym = n_chars - F.length(F.regexp_replace(t, _SYMBOL_CLASS, ""))
-    stop_hits = F.size(
-        F.filter(
-            "_w",
-            lambda x: _stop_map()[F.lower(x)].isNotNull()
-            | x.rlike(_HANGUL_PARTICLE_RE_S),
+    # stopword hits with token multiplicity: intersect the lowered
+    # words with the stopword set ONCE per row (hash set, not a
+    # per-word linear probe), then count words in the (small) matched
+    # array. The per-word Hangul-particle rlike runs only for docs
+    # that contain a Hangul syllable at all — same doc-level gate as
+    # the python spec's fast path.
+    df = df.withColumn("_lw", F.transform("_w", F.lower))
+    df = df.withColumn(
+        "_stopm", F.array_intersect(_stop_array(), F.col("_lw"))
+    )
+    stop_hits = F.when(
+        t.rlike("[가-힯]"),
+        F.size(
+            F.filter(
+                "_w",
+                lambda x: F.array_contains(F.col("_stopm"), F.lower(x))
+                | x.rlike(_HANGUL_PARTICLE_RE_S),
+            )
+        ),
+    ).otherwise(
+        F.size(
+            F.filter("_lw", lambda x: F.array_contains(F.col("_stopm"), x))
         )
     )
     is_vendor = (
@@ -420,7 +439,7 @@ def with_quality_signals(
             F.when(~is_spaceless, stop_density).otherwise(null_d),
         )
         .withColumn("is_vendor_url", is_vendor)
-        .drop("_w")
+        .drop("_w", "_lw", "_stopm")
     )
 
 

@@ -580,14 +580,15 @@ def _join_verify_expand(
     )
     # candidates-only shingling: at a 100 TB corpus the old side is
     # pruned to the candidate ids BEFORE any text is read or shingled
+    # left_semi deduplicates probe keys itself — no .distinct() shuffle
     side_new = texts_new.join(
-        cands.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_semi"
+        cands.select(F.col("id_new").alias(id_col)), id_col, "left_semi"
     ).select(
         F.col(id_col).alias("id_new"),
         _distinct_shingles_col(F.col(text_col)).alias("grams"),
     )
     side_old = texts_old.join(
-        cands.select(F.col("id_old").alias(id_col)).distinct(), id_col, "left_semi"
+        cands.select(F.col("id_old").alias(id_col)), id_col, "left_semi"
     ).select(
         F.col(id_col).alias("id_old"),
         _distinct_shingles_col(F.col(text_col)).alias("grams_b"),
