@@ -54,6 +54,16 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"),
         )
+        # Same lesson on the SCAN side: the vectorized parquet reader
+        # reserves batch-size rows per column vector, so the default
+        # 4096 with ~50KB html rows is ~200MB per task — 32 tasks OOM
+        # a spark-submit driver left at its default 1g heap. 512 caps
+        # reader memory at ~25MB/task; plain-row scans lose nothing
+        # measurable.
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_GRAFT_READER_BATCH", "512"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -4,11 +4,17 @@
 Cluster launch (north star):
 
     zip -r hyperpolyglot_spark.zip hyperpolyglot_spark
-    spark-submit --py-files hyperpolyglot_spark.zip \\
+    spark-submit --driver-memory 8g --py-files hyperpolyglot_spark.zip \\
         jobs/run_quality_filter.py \\
         --input  /path/to/pages_parquet_or_iceberg \\
         --output /path/to/out \\
         --n-buckets 4096 --group-size 256
+
+(--driver-memory matters in local mode: driver == executor there, and
+session-time spark.driver.memory cannot resize a JVM spark-submit has
+already launched. ~50KB html rows need heap for scan + Arrow batches;
+the session also caps the parquet reader batch at 512 rows so a
+default-heap run degrades gracefully instead of OOMing the scan.)
 
 Resumable: re-running the same command continues from the bucket
 manifest (plans/resume.py). Metrics + per-bucket lineage land under
