@@ -160,3 +160,42 @@ def test_hashed_classifier_total_and_matches_reference(s):
         if first or score > bs:
             best, bs, first = lang, score, False
     assert got == best
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    TEXT,
+    st.lists(
+        st.sampled_from(["en", "de", "zh", "ja", "ru", "ko", "xx", "yy"]),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+)
+def test_hashed_classifier_candidate_subset_matches_reference(s, cands):
+    """The matrix path's candidate-row select (absent languages score
+    -inf, earliest candidate wins ties) must equal the naive loop on
+    arbitrary candidate subsets, including unknown languages."""
+    from collections import Counter
+
+    from hyperpolyglot_spark.functions.langid import (
+        classify_hashed_py,
+        default_hashed_model,
+        gram_bucket,
+        text_grams,
+    )
+
+    hm = default_hashed_model()
+    got = classify_hashed_py(s, cands, hm)
+    gc = Counter(text_grams(s))
+    best, bs, first = cands[0], float("-inf"), True
+    for lang in cands:
+        if lang not in hm:
+            score = float("-inf")
+        elif not gc:
+            score = 0.0
+        else:
+            score = float(sum(n * hm[lang][gram_bucket(g)] for g, n in gc.items()))
+        if first or score > bs:
+            best, bs, first = lang, score, False
+    assert got == best
