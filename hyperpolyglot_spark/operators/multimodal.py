@@ -86,6 +86,51 @@ def media_features(
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
 
+def resize_image(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an HxWxC array — pure numpy index
+    math (REAL, not stubbed: only the payload->array decode needs an
+    external library). Matches the standard floor-scaling grid."""
+    ih, iw = img.shape[0], img.shape[1]
+    rows = np.arange(h) * ih // h
+    cols = np.arange(w) * iw // w
+    return img[rows][:, cols]
+
+
+def media_resized(
+    df: DataFrame,
+    height: int,
+    width: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """(id, height, width, pixels) with every image resized to a fixed
+    target — the batch-shape normalization step before any ML featurize.
+    Same mapInPandas boundary as media_features: one Arrow batch of
+    payloads in flight per task, payload column pruned for metadata-only
+    consumers."""
+    out_schema = f"{id_col} long, height int, width int, pixels binary"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pix = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                img = decode_image(b, fake=fake_decode)
+                ids.append(mid)
+                pix.append(resize_image(img, height, width).tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "height": [height] * len(ids),
+                    "width": [width] * len(ids),
+                    "pixels": pix,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     duration_col: str = "duration_ms",

@@ -311,6 +311,36 @@ def test_media_features_pipeline(spark, docs):
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
 
 
+def test_resize_image_math():
+    from hyperpolyglot_spark.operators.multimodal import resize_image
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    up = resize_image(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    # nearest-neighbor 2x upsample repeats each source pixel
+    assert (up[::2, ::2] == img).all() and (up[1::2, 1::2] == img).all()
+    down = resize_image(img, 2, 2)
+    assert down.shape == (2, 2, 3)
+    assert (down == img[::2, ::2]).all()  # floor-grid picks rows 0,2
+
+
+def test_media_resized_pipeline(spark, docs):
+    from hyperpolyglot_spark.operators.multimodal import media_resized
+
+    media = docs.limit(20).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    rows = media_resized(media, 8, 6).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r["height"], r["width"]) == (8, 6)
+        assert len(bytes(r["pixels"])) == 8 * 6 * 3  # fixed batch shape
+    # deterministic across runs
+    rows2 = media_resized(media, 8, 6).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(
         [(1, 3500), (2, 999), (3, 0)], "media_id long, duration_ms int"
