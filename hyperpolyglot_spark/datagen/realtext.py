@@ -486,4 +486,104 @@ REAL_TEXT: dict[str, tuple[str, ...]] = {
         "quaestio bona hominem exspectare possit qui eam serio "
         "accipiat.",
     ),
+    "bg": (
+        'Дъждът започна рано сутринта и не спря до късно вечерта, затова децата останаха вкъщи и четяха книгите си до прозореца, докато водата се стичаше по стъклото.',
+        'Всяка събота старият пазар в средата на града се пълни с хора, които идват да купят хляб, риба и зеленчуци, а продавачите викат цените си зад дървените маси.',
+        'Науката не ни дава окончателни отговори; тя ни дава по-добри въпроси, а историята на всяко откритие показва колко дълго един добър въпрос може да чака.',
+    ),
+    "sr": (
+        'Киша је почела рано ујутру и није престала до касно увече, па су деца остала у кући и читала своје књиге поред прозора док је вода текла низ стакло.',
+        'Сваке суботе стара пијаца у средини града пуни се људима који долазе да купе хлеб, рибу и поврће, а продавци вичу своје цене иза дрвених столова.',
+        'Наука нам не даје коначне одговоре; она нам даје боља питања, а историја сваког открића показује колико дуго добро питање може да чека.',
+    ),
+    "mk": (
+        'Дождот почна рано наутро и не престана до доцна навечер, па децата останаа дома и ги читаа своите книги до прозорецот додека водата течеше по стаклото.',
+        'Секоја сабота стариот пазар во средината на градот се полни со луѓе што доаѓаат да купат леб, риба и зеленчук, а продавачите ги викаат своите цени зад дрвените маси.',
+        'Науката не ни дава конечни одговори; таа ни дава подобри прашања, а историјата на секое откритие покажува колку долго едно добро прашање може да чека.',
+    ),
+    "be": (
+        'Дождж пачаўся рана раніцай і не спыніўся да позняга вечара, таму дзеці засталіся дома і чыталі свае кнігі ля акна, пакуль вада цякла па шкле.',
+        'Кожную суботу стары рынак у сярэдзіне горада напаўняецца людзьмі, якія прыходзяць купіць хлеб, рыбу і гародніну, а прадаўцы крычаць свае цэны за драўлянымі сталамі.',
+        'Навука не дае нам канчатковых адказаў; яна дае нам лепшыя пытанні, а гісторыя кожнага адкрыцця паказвае, як доўга добрае пытанне можа чакаць.',
+    ),
+    "lt": (
+        'Lietus prasidėjo anksti rytą ir nesiliovė iki vėlaus vakaro, todėl vaikai liko namuose ir skaitė savo knygas prie lango, kol vanduo tekėjo stiklu.',
+        'Kiekvieną šeštadienį senasis turgus miesto viduryje prisipildo žmonių, kurie ateina pirkti duonos, žuvies ir daržovių, o pardavėjai šaukia savo kainas už medinių stalų.',
+        'Mokslas neduoda mums galutinių atsakymų; jis duoda mums geresnius klausimus, o kiekvieno atradimo istorija rodo, kaip ilgai geras klausimas gali laukti.',
+    ),
+    "lv": (
+        'Lietus sākās agri no rīta un nebeidzās līdz vēlam vakaram, tāpēc bērni palika mājās un lasīja savas grāmatas pie loga, kamēr ūdens tecēja pa stiklu.',
+        'Katru sestdienu vecais tirgus pilsētas vidū piepildās ar cilvēkiem, kas nāk pirkt maizi, zivis un dārzeņus, un pārdevēji sauc savas cenas aiz koka galdiem.',
+        'Zinātne nedod mums galīgas atbildes; tā dod mums labākus jautājumus, un katra atklājuma vēsture rāda, cik ilgi labs jautājums var gaidīt.',
+    ),
+    "et": (
+        'Vihm algas varahommikul ja ei lõppenud enne hilist õhtut, seepärast jäid lapsed koju ja lugesid oma raamatuid akna juures, samal ajal kui vesi mööda klaasi voolas.',
+        'Igal laupäeval täitub vana turg linna keskel inimestega, kes tulevad ostma leiba, kala ja köögivilju, ning müüjad hüüavad oma hindu puidust laudade tagant.',
+        'Teadus ei anna meile lõplikke vastuseid; ta annab meile paremaid küsimusi, ja iga avastuse ajalugu näitab, kui kaua hea küsimus võib oodata.',
+    ),
+    "sl": (
+        'Dež se je začel zgodaj zjutraj in ni prenehal do poznega večera, zato so otroci ostali doma in brali svoje knjige ob oknu, medtem ko je voda tekla po steklu.',
+        'Vsako soboto se stara tržnica sredi mesta napolni z ljudmi, ki pridejo kupit kruh, ribe in zelenjavo, prodajalci pa kličejo svoje cene izza lesenih miz.',
+        'Znanost nam ne daje končnih odgovorov; daje nam boljša vprašanja, in zgodovina vsakega odkritja kaže, kako dolgo lahko dobro vprašanje čaka.',
+    ),
+    "fa": (
+        'باران از صبح زود شروع شد و تا آخر شب بند نیامد، پس بچه\u200cها در خانه ماندند و کنار پنجره کتاب\u200cهای خود را خواندند در حالی که آب روی شیشه جاری بود.',
+        'هر شنبه بازار قدیمی در وسط شهر پر از مردمی می\u200cشود که برای خریدن نان و ماهی و سبزیجات می\u200cآیند و فروشندگان قیمت\u200cهای خود را پشت میزهای چوبی فریاد می\u200cزنند.',
+        'علم به ما پاسخ\u200cهای نهایی نمی\u200cدهد؛ به ما پرسش\u200cهای بهتری می\u200cدهد و تاریخ هر کشف نشان می\u200cدهد که یک پرسش خوب چه مدت می\u200cتواند منتظر بماند.',
+    ),
+    "ur": (
+        'بارش صبح سویرے شروع ہوئی اور رات گئے تک نہیں رکی، اس لیے بچے گھر میں رہے اور کھڑکی کے پاس اپنی کتابیں پڑھتے رہے جبکہ پانی شیشے پر بہتا رہا۔',
+        'ہر ہفتے شہر کے وسط میں پرانا بازار لوگوں سے بھر جاتا ہے جو روٹی، مچھلی اور سبزیاں خریدنے آتے ہیں، اور دکاندار لکڑی کی میزوں کے پیچھے اپنی قیمتیں پکارتے ہیں۔',
+        'سائنس ہمیں حتمی جواب نہیں دیتی؛ وہ ہمیں بہتر سوال دیتی ہے، اور ہر دریافت کی تاریخ دکھاتی ہے کہ ایک اچھا سوال کتنی دیر انتظار کر سکتا ہے۔',
+    ),
+    "bn": (
+        'বৃষ্টি সকাল থেকে শুরু হয়ে সন্ধ্যা পর্যন্ত থামেনি, তাই ছেলেমেয়েরা ঘরে থেকে জানালার পাশে বসে বই পড়ল, আর জল কাচের উপর দিয়ে গড়িয়ে পড়ছিল।',
+        'প্রতি শনিবার শহরের মাঝখানের পুরনো বাজার মানুষে ভরে যায়, যারা রুটি, মাছ আর সবজি কিনতে আসে, এবং বিক্রেতারা কাঠের টেবিলের পেছন থেকে দাম হাঁকে।',
+        'বিজ্ঞান আমাদের চূড়ান্ত উত্তর দেয় না; সে আমাদের আরও ভালো প্রশ্ন দেয়, আর প্রতিটি আবিষ্কারের ইতিহাস দেখায় একটি ভালো প্রশ্ন কত দিন অপেক্ষা করতে পারে।',
+    ),
+    "ta": (
+        'மழை காலையில் தொடங்கி இரவு வரை நிற்கவில்லை, அதனால் குழந்தைகள் வீட்டில் இருந்து ஜன்னல் அருகில் தங்கள் புத்தகங்களைப் படித்தனர், தண்ணீர் கண்ணாடியில் வழிந்தது.',
+        'ஒவ்வொரு சனிக்கிழமையும் நகரின் நடுவில் உள்ள பழைய சந்தை ரொட்டி, மீன் மற்றும் காய்கறிகள் வாங்க வரும் மக்களால் நிறைகிறது, விற்பனையாளர்கள் மர மேசைகளுக்குப் பின்னால் விலைகளைக் கூவுகிறார்கள்.',
+        'அறிவியல் நமக்கு இறுதியான பதில்களைத் தருவதில்லை; அது சிறந்த கேள்விகளைத் தருகிறது, ஒவ்வொரு கண்டுபிடிப்பின் வரலாறும் ஒரு நல்ல கேள்வி எவ்வளவு காலம் காத்திருக்க முடியும் என்பதைக் காட்டுகிறது.',
+    ),
+    "ml": (
+        'മഴ രാവിലെ തുടങ്ങി രാത്രി വരെ നിന്നില്ല, അതിനാൽ കുട്ടികൾ വീട്ടിൽ ഇരുന്നു ജനലിനരികിൽ പുസ്തകങ്ങൾ വായിച്ചു, വെള്ളം ചില്ലിലൂടെ ഒഴുകി.',
+        'എല്ലാ ശനിയാഴ്ചയും നഗരത്തിന്റെ നടുവിലെ പഴയ ചന്ത റൊട്ടിയും മീനും പച്ചക്കറികളും വാങ്ങാൻ വരുന്ന ആളുകളെക്കൊണ്ട് നിറയുന്നു, വിൽപ്പനക്കാർ മരമേശകൾക്കു പിന്നിൽ നിന്ന് വില വിളിക്കുന്നു.',
+        'ശാസ്ത്രം നമുക്ക് അന്തിമ ഉത്തരങ്ങൾ നൽകുന്നില്ല; അത് മെച്ചപ്പെട്ട ചോദ്യങ്ങൾ നൽകുന്നു, ഓരോ കണ്ടുപിടിത്തത്തിന്റെയും ചരിത്രം ഒരു നല്ല ചോദ്യത്തിന് എത്ര കാലം കാത്തിരിക്കാൻ കഴിയുമെന്ന് കാണിക്കുന്നു.',
+    ),
+    "hy": (
+        'Անձրևը սկսվեց վաղ առավոտյան և չդադարեց մինչև ուշ երեկո, ուստի երեխաները մնացին տանը և կարդում էին իրենց գրքերը պատուհանի մոտ, մինչ ջուրը հոսում էր ապակու վրայով։',
+        'Ամեն շաբաթ քաղաքի կենտրոնի հին շուկան լցվում է մարդկանցով, ովքեր գալիս են հաց, ձուկ և բանջարեղեն գնելու, իսկ վաճառողները փայտե սեղանների հետևից գոռում են իրենց գները։',
+        'Գիտությունը մեզ վերջնական պատասխաններ չի տալիս. այն մեզ ավելի լավ հարցեր է տալիս, և ամեն հայտնագործության պատմությունը ցույց է տալիս, թե որքան երկար կարող է սպասել լավ հարցը։',
+    ),
+    "ka": (
+        'წვიმა დილით ადრე დაიწყო და გვიან საღამომდე არ შეწყვეტილა, ამიტომ ბავშვები სახლში დარჩნენ და ფანჯარასთან კითხულობდნენ თავიანთ წიგნებს, სანამ წყალი მინაზე ჩამოდიოდა.',
+        'ყოველ შაბათს ქალაქის შუაგულში ძველი ბაზარი ივსება ხალხით, რომლებიც მოდიან პურის, თევზისა და ბოსტნეულის საყიდლად, გამყიდველები კი ხის მაგიდების უკნიდან თავიანთ ფასებს იძახიან.',
+        'მეცნიერება საბოლოო პასუხებს არ გვაძლევს; ის უკეთეს კითხვებს გვაძლევს, და ყოველი აღმოჩენის ისტორია აჩვენებს, რამდენ ხანს შეუძლია კარგ კითხვას ლოდინი.',
+    ),
+    "az": (
+        'Yağış səhər tezdən başladı və gecəyə qədər dayanmadı, buna görə uşaqlar evdə qaldılar və pəncərənin yanında kitablarını oxudular, su şüşə ilə axırdı.',
+        'Hər şənbə şəhərin ortasındakı köhnə bazar çörək, balıq və tərəvəz almağa gələn insanlarla dolur, satıcılar taxta masaların arxasından qiymətlərini qışqırırlar.',
+        'Elm bizə son cavablar vermir; o bizə daha yaxşı suallar verir, və hər kəşfin tarixi göstərir ki, yaxşı sual nə qədər gözləyə bilər.',
+    ),
+    "kk": (
+        'Жаңбыр таңертең ерте басталып, кеш батқанша тоқтамады, сондықтан балалар үйде қалып, терезенің жанында кітаптарын оқыды, ал су әйнекпен ағып жатты.',
+        'Әр сенбіде қаланың ортасындағы ескі базар нан, балық және көкөніс сатып алуға келген адамдарға толады, ал сатушылар ағаш үстелдердің артынан бағаларын айқайлайды.',
+        'Ғылым бізге түпкілікті жауап бермейді; ол бізге жақсырақ сұрақтар береді, және әр жаңалықтың тарихы жақсы сұрақтың қанша уақыт күте алатынын көрсетеді.',
+    ),
+    "uz": (
+        "Yomg'ir erta tongda boshlandi va kechgacha to'xtamadi, shuning uchun bolalar uyda qolib, deraza yonida kitoblarini o'qidilar, suv oyna bo'ylab oqardi.",
+        "Har shanba shahar o'rtasidagi eski bozor non, baliq va sabzavot sotib olishga kelgan odamlar bilan to'ladi, sotuvchilar yog'och stollar ortidan narxlarini baqiradilar.",
+        "Fan bizga yakuniy javoblar bermaydi; u bizga yaxshiroq savollar beradi, va har bir kashfiyot tarixi yaxshi savol qancha kutishi mumkinligini ko'rsatadi.",
+    ),
+    "cy": (
+        'Dechreuodd y glaw yn gynnar yn y bore ac ni stopiodd tan yn hwyr y nos, felly arhosodd y plant yn y tŷ a darllen eu llyfrau wrth y ffenestr tra roedd y dŵr yn llifo i lawr y gwydr.',
+        "Bob dydd Sadwrn mae'r hen farchnad yng nghanol y dref yn llenwi â phobl sy'n dod i brynu bara, pysgod a llysiau, ac mae'r gwerthwyr yn gweiddi eu prisiau y tu ôl i'r byrddau pren.",
+        "Nid yw gwyddoniaeth yn rhoi atebion terfynol i ni; mae'n rhoi cwestiynau gwell i ni, ac mae hanes pob darganfyddiad yn dangos pa mor hir y gall cwestiwn da aros.",
+    ),
+    "eu": (
+        'Euria goizean goiz hasi zen eta ez zen gelditu gaua arte, beraz haurrak etxean geratu ziren eta leiho ondoan beren liburuak irakurri zituzten, ura kristaletik behera zihoan bitartean.',
+        'Larunbatero hiriaren erdiko merkatu zaharra jendez betetzen da, ogia, arraina eta barazkiak erostera etortzen direnekin, eta saltzaileek beren prezioak oihukatzen dituzte egurrezko mahaien atzetik.',
+        'Zientziak ez digu behin betiko erantzunik ematen; galdera hobeak ematen dizkigu, eta aurkikuntza bakoitzaren historiak erakusten du zenbat denbora itxaron dezakeen galdera on batek.',
+    ),
 }

@@ -55,16 +55,16 @@ def test_fixture_shape():
 def test_dict_nb_transfer_accuracy():
     m = default_model()
     acc, errs = _accuracy(lambda p: classify_py(p, None, m))
-    # measured 0.982 (2/114 misses: zh->en one passage, ms->id)
+    # measured 0.983 (3/180: zh->en one passage, ms->id, mk->ru)
     assert acc >= 0.95, (acc, errs)
 
 
 def test_hashed_nb_transfer_accuracy():
     hm = default_hashed_model()
     acc, errs = _accuracy(lambda p: classify_hashed_py(p, None, hm))
-    # measured 0.947 at 16384 buckets; residual errors are the
-    # genuinely-hard pairs (zh/ja han overlap, ko short text, uk/ru,
-    # ms/id). The 4096-bucket attractor failure scored 0.47.
+    # measured 0.961 at 16384 buckets over 180 passages; residual
+    # errors are the genuinely-hard pairs (zh/ja han overlap, short
+    # ko, uk/ru, ms/id, mk/ru). The 4096-bucket attractor: 0.47.
     assert acc >= 0.90, (acc, errs)
 
 
@@ -85,7 +85,7 @@ def test_perplexity_prefers_real_prose_over_scrambled():
                 continue
             n += 1
             lower += pr < ps
-    # measured 107/114 before the no-space fix; >= 0.9 after
+    # measured 177/180 (107/114 before the no-space fix)
     assert lower / n >= 0.9, (lower, n)
 
 
