@@ -820,11 +820,17 @@ def hashed_gram_buckets(spark, sf_dir):
     from hyperpolyglot_spark.functions.langid import bucket_col, exploded_grams
 
     docs = _t(spark, sf_dir, "documents")
+    # two-phase: count per RAW gram first (partial agg absorbs the
+    # volume), md5 only the distinct (lang, gram) groups — ~30x fewer
+    # hashes at sf0.1, and at corpus scale distinct grams plateau
+    # while doc count grows, so hashing cost per doc goes to zero
     counted = (
         exploded_grams(docs)
-        .select("lang", bucket_col(F.col("gram")).alias("bucket"))
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("c1"))
+        .select("lang", bucket_col(F.col("gram")).alias("bucket"), "c1")
         .groupBy("lang", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("c1").alias("cnt"))
     )
     wl = Window.partitionBy("lang")
     return counted.select(

@@ -373,16 +373,23 @@ def train_hashed_spark(
     text_col: str = "text",
     buckets: int = HASH_BUCKETS,
 ) -> HashedModel:
-    """Spark trainer: explode grams -> md5 bucket (JVM-side) -> one
-    hash agg -> collect the (lang, bucket, cnt) table into vectors.
-    Exact parity with train_hashed_py (tests/test_hashed_langid.py)."""
+    """Spark trainer: explode grams -> count per RAW gram (partial agg
+    absorbs the volume) -> md5-bucket only the distinct (lang, gram)
+    groups -> final agg -> collect (lang, bucket, cnt) into vectors.
+    Hashing the distinct grams instead of every occurrence is ~30x
+    fewer md5s at sf0.1 and amortizes to zero per doc at corpus scale
+    (distinct grams plateau). Sum-before-bucket == sum-after-bucket,
+    so parity with train_hashed_py is exact
+    (tests/test_hashed_langid.py)."""
     grams = exploded_grams(
         df.select(F.col(lang_col).alias("lang"), F.col(text_col).alias("text"))
     )
     counted = (
-        grams.select("lang", bucket_col(F.col("gram"), buckets).alias("b"))
+        grams.groupBy("lang", "gram")
+        .agg(F.count("*").alias("c1"))
+        .select("lang", bucket_col(F.col("gram"), buckets).alias("b"), "c1")
         .groupBy("lang", "b")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("c1").cast("long").alias("cnt"))
         .collect()
     )
     by_lang: dict[str, list[tuple[int, int]]] = {}
