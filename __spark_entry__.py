@@ -650,6 +650,8 @@ def neardup_incremental_indexed(spark, sf_dir):
     never re-shingled (verification reads candidate texts only).
     Output is identical to neardup_incremental, and the oracle is the
     same exact all-pairs jaccard."""
+    import hashlib
+    import os
     import tempfile
 
     from hyperpolyglot_spark.operators.dedup import (
@@ -660,7 +662,14 @@ def neardup_incremental_indexed(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
-    idx = tempfile.mkdtemp(prefix="hp_dedup_idx_") + "/index"
+    # deterministic per-sf path, overwritten on every call: the
+    # returned DataFrame reads the index lazily, so it cannot be
+    # cleaned up here — a keyed path bounds the footprint to one
+    # index per sf instead of one per invocation
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = os.path.join(
+        tempfile.gettempdir(), f"hp_dedup_idx_{key}", "index"
+    )
     save_dedup_index(spark, old, idx)
     return minhash_neardup_join_indexed(spark, new, idx, old, threshold=0.5)
 

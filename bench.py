@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -202,7 +203,6 @@ def bench_queries(spark) -> dict[str, float]:
         t0 = time.perf_counter()
         _force(qs[name](spark, SF_DIR))
         out[name] = round(time.perf_counter() - t0, 3)
-    out["neardup_incremental_probe"] = bench_incremental_probe(spark)
     return out
 
 
@@ -227,11 +227,17 @@ def bench_incremental_probe(spark) -> float:
     cut = int(n_docs * 0.9)
     old = docs.filter(F.col("doc_id") < cut)
     new = docs.filter(F.col("doc_id") >= cut)
-    idx = tempfile.mkdtemp(prefix="hp_bench_idx_") + "/index"
-    save_dedup_index(spark, old, idx)
-    t0 = time.perf_counter()
-    _force(minhash_neardup_join_indexed(spark, new, idx, old, threshold=0.5))
-    return round(time.perf_counter() - t0, 3)
+    tmp = tempfile.mkdtemp(prefix="hp_bench_idx_")
+    try:
+        idx = tmp + "/index"
+        save_dedup_index(spark, old, idx)
+        t0 = time.perf_counter()
+        _force(
+            minhash_neardup_join_indexed(spark, new, idx, old, threshold=0.5)
+        )
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def make_spark_docs(spark):
@@ -282,6 +288,15 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf,
                 "queries_total_sec": total,
+                # steady-state probe of the indexed incremental-dedup
+                # path (index built untimed, only the per-batch join
+                # timed). Kept OUT of `queries`: it is not a driver
+                # queries() entry and re-times work the
+                # neardup_incremental_indexed row already covers, so
+                # it must not inflate queries_total_sec
+                "neardup_incremental_probe_sec": bench_incremental_probe(
+                    spark
+                ),
                 "pipeline": pipe,
                 "cpus": CPUS,
                 # Spark-free single-core probe of the box's delivered
@@ -363,7 +378,10 @@ def scaling_main(sf: float) -> None:
     best_pair = max(pairs, key=pairs.get)
     report = {
         "metric": "scaling_efficiency_N_to_4N",
-        "value": pairs[best_pair],
+        # clamped at 1.0 like the BENCH.md headline (_window_best): a
+        # ratio above 1 is cross-leg host variance, not super-linear
+        # scaling; the raw per-pair values stay in the eff_* fields
+        "value": min(pairs[best_pair], 1.0),
         "pair": best_pair,
         "unit": "ratio",
         "ts": round(time.time(), 1),

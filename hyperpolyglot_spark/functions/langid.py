@@ -515,6 +515,8 @@ def classify_hashed_py(
     candidate rows; languages absent from the model score -inf."""
     model = model if model is not None else default_hashed_model()
     cands = list(candidates) if candidates else list(LANGUAGES)
+    if not model:
+        return cands[0]  # every candidate scores -inf; earliest wins
     packed = _packed_grams(text)
     if packed is None:
         # no grams: every present language scores 0.0, absent -inf;

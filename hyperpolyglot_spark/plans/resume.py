@@ -48,7 +48,17 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     filesystem — HDFS/S3/local — unlike a driver-local os.path check)."""
     path = os.path.join(out_dir, MANIFEST_DIR)
     try:
-        rows = spark.read.parquet(path).select("bucket").distinct().collect()
+        # mergeSchema: manifest rows appended by different engine
+        # versions may carry different metric columns (e.g. the
+        # drop_* widening); schema is the union, never one sampled
+        # footer, so resumes across upgrades stay correct
+        rows = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
     except AnalysisException:  # path does not exist yet -> fresh run
         return set()
     # any OTHER error (permissions, corrupt footer, transient FS) must
@@ -100,7 +110,7 @@ def run_with_resume(
         )
         try:
             agg = (
-                spark.read.parquet(labels_path)
+                spark.read.option("mergeSchema", "true").parquet(labels_path)
                 .filter(F.col("bucket").isin(group))
                 .groupBy("bucket")
                 .agg(

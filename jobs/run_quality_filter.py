@@ -64,7 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     print(f"completed {groups} bucket group(s); output at {args.output}")
 
-    manifest = spark.read.parquet(f"{args.output}/_manifest")
+    manifest = spark.read.option("mergeSchema", "true").parquet(
+        f"{args.output}/_manifest"
+    )
     manifest.orderBy("bucket").show(200, truncate=False)
     return 0
 

@@ -132,3 +132,14 @@ def test_cap_before_lower_boundary(spark):
 
     got_ppl = df.select(ppl_grams_col(F.col("text")).alias("g")).collect()[0]["g"]
     assert list(got_ppl) == ppl_events(text)
+
+
+def test_classify_hashed_empty_model_falls_back_to_first_candidate():
+    """An empty model (e.g. trained on an empty corpus) must score
+    every candidate -inf and return the earliest candidate, exactly
+    like the pre-matrix per-language loop — not raise from
+    np.stack([]) (code-review regression)."""
+    from hyperpolyglot_spark.functions.langid import classify_hashed_py
+
+    assert classify_hashed_py("some text here", ["en", "de"], {}) == "en"
+    assert classify_hashed_py("", ["fr"], {}) == "fr"
