@@ -162,3 +162,21 @@ def test_indexed_incremental_join_plan(spark):
         assert "idx/banded" in plan  # the index scan feeds the bucket join
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_hashed_gram_buckets_hashes_distinct_grams_only(spark):
+    """Two-phase gram aggregation: the md5 bucketing must sit ABOVE the
+    first (lang, gram) aggregate — i.e. run once per distinct group —
+    never in the projection under it (once per occurrence). At corpus
+    scale distinct grams plateau while occurrences grow linearly, so
+    the hash cost per document must amortize to zero."""
+    plan = plan_of(entry_mod.hashed_gram_buckets(spark, SF))
+    # two partial/final aggregation PAIRS — (lang, gram) then
+    # (lang, bucket). The one-phase md5-per-occurrence plan this
+    # replaced had exactly one pair (2 HashAggregates); expression
+    # strings truncate in toString, so the aggregate structure is the
+    # reliable discriminator.
+    assert plan.count("HashAggregate") >= 4
+    # and exactly two gram-side exchanges (one per aggregation pair) —
+    # the window partial adds its own; no exchange explosion
+    assert plan.count("Exchange") <= 3
