@@ -314,8 +314,10 @@ def _run_leg(cpus: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     # long enough that the ~6s fixed per-job cost (scheduling,
     # final-task tail) is amortized — it would otherwise read as
-    # false inefficiency on the fast legs
-    env.setdefault("SPARK_GRAFT_BENCH_ROWS", "300000")
+    # false inefficiency on the fast legs. 300k sized this at round-2
+    # speed; the round-3 hot path is 1.6x faster, so 600k keeps the
+    # fast leg's wall time in the same amortization regime
+    env.setdefault("SPARK_GRAFT_BENCH_ROWS", "600000")
     env.setdefault("SPARK_GRAFT_BENCH_REPS", "2")
     env.setdefault("SPARK_GRAFT_WARM_SAMPLE", "1")
     out = subprocess.run(
@@ -447,8 +449,9 @@ def _write_bench_md(sf, results, tp, ctrl, tp_norm, mp_ctrl, eff, pairs,
     best_w = max(windows, key=lambda w: _window_best(w)[0])
     best_val, best_w_pair = _window_best(best_w)
     win_rows = "".join(
-        "| {n} | {e28} / {e28n} | {e832} / {e832n} | {m28} / {m832} | {t32} |\n".format(
+        "| {n} | {pages} | {e28} / {e28n} | {e832} / {e832n} | {m28} / {m832} | {t32} |\n".format(
             n=i + 1,
+            pages=w.get("pages", "-"),
             e28=w.get("eff_2_to_8", "-"),
             e28n=w.get("eff_2_to_8_normalized", "-"),
             e832=w.get("eff_8_to_32", "-"),
@@ -492,12 +495,16 @@ def _write_bench_md(sf, results, tp, ctrl, tp_norm, mp_ctrl, eff, pairs,
             "shortfall that tracks the control is machine, not plan: the "
             "plan itself is one narrow scan -> Arrow stage with zero "
             "shuffles.\n\n"
-            "## All measured windows (identical job + input, repeated)\n\n"
+            "## All measured windows (identical job, repeated)\n\n"
             "Every run of `bench.py --scaling` appends its full report "
             "to `data/bench_windows.jsonl`; nothing is discarded. "
-            "Window-to-window variance is the host's, not the plan's.\n\n"
-            "| window | 2->8 raw/norm | 8->32 raw/norm | box ceiling 2->8 / 8->32 | local[32] docs/sec |\n"
-            "|---|---|---|---|---|\n"
+            "Window-to-window variance is the host's, not the plan's. "
+            "The `pages` column is the leg corpus size: it was raised "
+            "300k -> 600k when the round-3 hot path got 1.6x faster, "
+            "to keep the fast leg's wall time amortizing the ~6s fixed "
+            "per-job cost.\n\n"
+            "| window | pages | 2->8 raw/norm | 8->32 raw/norm | box ceiling 2->8 / 8->32 | local[32] docs/sec |\n"
+            "|---|---|---|---|---|---|\n"
             + win_rows
             + f"\n**Headline N -> 4N efficiency: {best_val} "
             f"({best_w_pair} cores, best demonstrated window, clamped "
