@@ -371,17 +371,23 @@ def ppl_thresholds(model: PplModel, langs=None) -> dict[str, float]:
     return out
 
 
-_THRESHOLD_CACHE: dict[int, dict[str, float]] = {}
+# id(model) -> (model, thresholds). The model reference is held
+# STRONGLY and identity is re-checked on hit, mirroring _SCORER_CACHE:
+# without it, a garbage-collected model whose address is reused by a
+# new PplModel would silently serve the OLD model's thresholds —
+# wrong per-language drop cutoffs with no error.
+_THRESHOLD_CACHE: dict[int, tuple[PplModel, dict[str, float]]] = {}
 
 
 def ppl_thresholds_for(model: PplModel) -> dict[str, float]:
     """Memoized-by-identity thresholds (the default model computes its
     calibration once per process, like the model itself)."""
     key = id(model)
-    got = _THRESHOLD_CACHE.get(key)
-    if got is None:
-        if len(_THRESHOLD_CACHE) > 8:
-            _THRESHOLD_CACHE.clear()
-        got = ppl_thresholds(model)
-        _THRESHOLD_CACHE[key] = got
+    hit = _THRESHOLD_CACHE.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    if len(_THRESHOLD_CACHE) > 8:
+        _THRESHOLD_CACHE.clear()
+    got = ppl_thresholds(model)
+    _THRESHOLD_CACHE[key] = (model, got)
     return got

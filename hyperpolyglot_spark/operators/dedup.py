@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -33,15 +34,69 @@ from pyspark.sql import types as T
 from pyspark import StorageLevel
 
 
+# Every table pinned by _pin(), in pin order. Memory blocks are
+# LRU-evicted under pressure but DISK-spilled blocks are not, so a
+# long-lived driver running repeated dedup batches (the continuous-
+# crawl use case) accumulates disk unless something unpersists. The
+# registry + pinned_scope() below make cleanup scoped instead of
+# relying on callers remembering spark.catalog.clearCache().
+_PINNED: list[DataFrame] = []
+
+
 def _pin(df: DataFrame) -> DataFrame:
     """Persist a signature/candidate table that multiple plan branches
     consume. Without this Spark re-evaluates the subtree PER BRANCH —
     the minhash UDF was observed running 9x over the same batch (cap
     union + anti-join + bucket join + two verification semi-joins).
     These tables are (id, band, bucket)-shaped — tiny next to the
-    corpus — and spill to disk if not. Eviction is LRU; callers doing
-    repeated standalone runs can spark.catalog.clearCache()."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus. Each pin is recorded in _PINNED; wrap repeated batch runs
+    in ``pinned_scope()`` (or call ``unpersist_pinned()`` after the
+    consuming action) so disk-spilled blocks are actually freed."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(df)
+    return df
+
+
+def unpersist_pinned(blocking: bool = False) -> int:
+    """Unpersist every table recorded by _pin() since the last call.
+
+    Call AFTER the action that consumes the returned DataFrame — the
+    results are lazy, so unpersisting earlier silently reverts to the
+    re-evaluate-per-branch behavior _pin exists to prevent (correct,
+    just slow). Returns the number of tables released."""
+    n = 0
+    while _PINNED:
+        df = _PINNED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:  # session already stopped: nothing to free
+            pass
+    return n
+
+
+@contextmanager
+def pinned_scope(blocking: bool = False):
+    """Scope dedup pin lifetime to a block::
+
+        with pinned_scope():
+            pairs = minhash_neardup_pairs(batch).collect()
+        # signature/candidate caches for THIS batch are now released
+
+    Only tables pinned inside the block are unpersisted, so nested or
+    interleaved scopes don't free each other's caches. This is the
+    intended idiom for the continuous-crawl loop: one scope per
+    incoming batch bounds cache footprint to a single batch."""
+    mark = len(_PINNED)
+    try:
+        yield
+    finally:
+        while len(_PINNED) > mark:
+            df = _PINNED.pop()
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass
 
 # affine permutation params for minhash: deterministic, generated from
 # a fixed seed via blake2b of the permutation index
@@ -153,7 +208,10 @@ def make_minhash_udf(k: int = 64, counter=None):
     is a segment-min over the shared value matrix. ``counter`` is an
     optional Spark accumulator incremented by docs signed — the
     observability hook tests use to prove an indexed incremental run
-    never re-signs the old corpus."""
+    never re-signs the old corpus. Caveat: the increment happens
+    inside the task, so task retries and speculative execution
+    double-count — treat the value as a debug/lower-bound signal (its
+    test role), never as an exact production 'docs signed' metric."""
     a, b = _perm_params(k)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))

@@ -127,3 +127,37 @@ def test_incremental_oracle_fixture_property():
             if 0.5 <= jac < 0.9:
                 in_band.append((i, j, jac))
     assert in_band == [], in_band
+
+
+def test_pinned_scope_releases_caches(spark):
+    """ADVICE r3: _pin()ed signature/candidate tables must be
+    releasable without clearCache — pinned_scope frees exactly the
+    tables pinned inside it (disk-spilled blocks are not LRU-evicted,
+    so a continuous-crawl driver would otherwise accumulate disk)."""
+    from hyperpolyglot_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared words plus row {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    before = len(D._PINNED)
+    with D.pinned_scope():
+        minhash_neardup_pairs(docs, threshold=0.5).count()
+        pinned = D._PINNED[before:]
+        assert pinned, "minhash path should pin at least one table"
+        assert all(p.storageLevel.useMemory for p in pinned)
+    assert len(D._PINNED) == before
+    assert all(not p.storageLevel.useMemory for p in pinned)
+
+
+def test_unpersist_pinned_counts(spark):
+    from hyperpolyglot_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"words for the second scope test {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    D.unpersist_pinned()  # drain anything earlier tests left behind
+    minhash_neardup_pairs(docs, threshold=0.5).count()
+    assert D.unpersist_pinned() > 0
+    assert D.unpersist_pinned() == 0

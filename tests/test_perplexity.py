@@ -188,3 +188,19 @@ def test_pipeline_emits_perplexity_metrics(spark):
     max_thr = max(ppl_thresholds_for(default_ppl_model()).values())
     kept_ppl = labels.filter(F.col("keep")).agg(F.max("perplexity")).collect()[0][0]
     assert kept_ppl is not None and kept_ppl <= max_thr
+
+
+def test_threshold_cache_is_identity_checked():
+    """ADVICE r3: id() reuse after GC must not serve another model's
+    thresholds — the cache stores the model ref and re-checks identity."""
+    from hyperpolyglot_spark.functions import perplexity as P
+
+    m1 = P.train_ppl_py([("en", "the cat sat on the mat again and again")])
+    t1 = P.ppl_thresholds_for(m1)
+    # forge a stale entry under a key that a NEW model will collide with
+    m2 = P.train_ppl_py([("en", "a completely different training text")])
+    P._THRESHOLD_CACHE[id(m2)] = (m1, {"en": -1.0})
+    got = P.ppl_thresholds_for(m2)
+    assert got != {"en": -1.0}  # identity check rejected the stale hit
+    assert P._THRESHOLD_CACHE[id(m2)][0] is m2
+    assert P.ppl_thresholds_for(m1) == t1
