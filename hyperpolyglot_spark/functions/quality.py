@@ -25,11 +25,13 @@ from pyspark.sql import functions as F
 
 from .langdata import ALL_STOPWORDS
 
-# Chars that count as "symbols": not alnum, not whitespace, and not a
-# letter of any script in the 60-language universe. Same class compiles
-# under Python re and Java regex (explicit literal ranges, no \w).
-_SYMBOL_CLASS = (
-    "[^A-Za-z0-9\\s"
+# Letter ranges of every script in the language universe (the 26
+# scripts). Shared by the symbol class below (negated: anything not a
+# known letter/digit/space is a "symbol") and by langid's unknown-
+# script gate (positive: a doc whose letters mostly fall OUTSIDE these
+# ranges has zero candidate languages). Same literals compile under
+# Python re, Java regex, and RE2/DuckDB.
+LETTER_RANGES = (
     "À-ʯ"  # latin-1 supplement + extended A/B + IPA (ə, hausa ɓɗ)
     "Ͱ-Ͽ"  # greek
     "Ѐ-ӿ"  # cyrillic
@@ -57,8 +59,13 @@ _SYMBOL_CLASS = (
     "぀-ヿ"  # hiragana + katakana
     "一-鿿"  # cjk unified ideographs
     "가-힯"  # hangul syllables
-    "]"
 )
+# Chars that count as "symbols": not alnum, not whitespace, and not a
+# letter of any known script.
+_SYMBOL_CLASS = "[^A-Za-z0-9\\s" + LETTER_RANGES + "]"
+# Positive form: a letter of SOME known script (ascii letters + the
+# shared ranges). Consumed by langid's unknown-script gate.
+KNOWN_LETTER_CLASS = "[A-Za-z" + LETTER_RANGES + "]"
 _SYMBOL_RE = re.compile(_SYMBOL_CLASS)
 _WS_SPLIT_RE = re.compile(r"[ \t\n\r\f\x0b]+")
 

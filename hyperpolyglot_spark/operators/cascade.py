@@ -35,7 +35,11 @@ from ..functions.langdata import (
     TLD_LANGS,
     URL_LANG_HINTS,
 )
-from ..functions.langid import classify_any, make_classify_udf
+from ..functions.langid import (
+    classify_any,
+    classify_or_none_py,
+    make_classify_udf,
+)
 from ..functions.metadata import (
     filter_candidates,
     meta_lang_candidates,
@@ -72,9 +76,17 @@ def heuristic_matches_py(cands: list[str], text: str) -> list[str]:
 # ======================================================================
 
 def detect_lang_py(
-    url: str, text: str, meta_tag: str | None, model=None
-) -> tuple[str, str]:
-    """(lang, strategy) for one document. THE label spec."""
+    url: str, text: str, meta_tag: str | None, model=None,
+    unresolved: bool = True,
+) -> tuple[str | None, str]:
+    """(lang, strategy) for one document. THE label spec.
+
+    The terminal classifier stage can now return (None, 'unresolved')
+    when the NB decision is noise-like (langid.classify_or_none_py) —
+    the analog of the reference's `detect` returning None at zero
+    candidates (src/lib.rs:187-189) generalized to an open-world
+    confidence cutoff. ``unresolved=False`` restores the historical
+    force-argmax terminal."""
     hint = url_hint_lang(url)
     if hint is not None:
         return hint, "urlhint"
@@ -93,6 +105,11 @@ def detect_lang_py(
     if len(cands) == 1:
         return cands[0], "heuristics"
 
+    if unresolved:
+        lang = classify_or_none_py(text, cands, model)
+        if lang is None:
+            return None, "unresolved"
+        return lang, "classifier"
     return classify_any(text, cands, model), "classifier"
 
 
@@ -256,8 +273,14 @@ def with_cascade(
     text_col: str = "text",
     meta_col: str = "meta_tag",
     model=None,
+    unresolved: bool = True,
 ) -> DataFrame:
-    """Append (lang_pred, strategy) via the 5-stage cascade."""
+    """Append (lang_pred, strategy) via the 5-stage cascade.
+
+    ``unresolved=True`` (default, matching detect_lang_py) lets the
+    terminal classifier return NULL with strategy 'unresolved' when
+    the NB decision is noise-like — the open-world outcome a real
+    crawl's language tail needs."""
     url, text, meta = F.col(url_col), F.col(text_col), F.col(meta_col)
 
     df = df.withColumn("_hint", url_hint_col(url))
@@ -279,7 +302,7 @@ def with_cascade(
         | (F.size("_c2") == 1)
         | (F.size("_c3") == 1)
     )
-    classify = make_classify_udf(spark, model)
+    classify = make_classify_udf(spark, model, unresolved=unresolved)
     # mask text to NULL for resolved rows -> the pandas UDF loop skips
     # them (early-exit X1); candidates empty -> scores all languages
     df = df.withColumn(
@@ -294,6 +317,10 @@ def with_cascade(
         .when(F.size("_c1") == 1, F.lit("tld"))
         .when(F.size("_c2") == 1, F.lit("meta"))
         .when(F.size("_c3") == 1, F.lit("heuristics"))
+        # reached the classifier and it declined: the unresolved
+        # stratum (NULL lang_pred). Resolved rows never take this
+        # branch — the earlier whens claim them first.
+        .when(F.col("_clf").isNull(), F.lit("unresolved"))
         .otherwise(F.lit("classifier"))
     )
     lang_pred = (

@@ -1,0 +1,131 @@
+"""Unknown-language (unresolved) outcome — VERDICT r3 missing #2.
+
+The reference's `detect` returns None at zero candidates
+(src/lib.rs:187-189); the cascade terminal used to force-argmax all 102
+languages. These tests pin the three-stage gate (unknown script, NB
+margin/abs noise, script coherence) and its wiring through the Python
+spec, the column cascade, and the fused pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperpolyglot_spark.datagen.unknown import (
+    ALIEN_LATIN,
+    RESOLVABLE_GIBBERISH,
+    UNKNOWN_SCRIPT,
+    fixture_rows,
+)
+from hyperpolyglot_spark.functions.langid import (
+    classify_any,
+    classify_margin_py,
+    classify_or_none_py,
+    default_hashed_model,
+    known_script_ratio,
+    training_corpus,
+)
+from hyperpolyglot_spark.operators.cascade import detect_lang_py
+
+
+def test_fixture_split_is_pinned():
+    """Every UNKNOWN_SCRIPT and ALIEN_LATIN doc gates to None; any
+    RESOLVABLE_GIBBERISH entry resolves. Gate drift (threshold or
+    model changes) must move entries between the lists, not silently
+    flip the frozen oracle."""
+    m = default_hashed_model()
+    for name, text in UNKNOWN_SCRIPT + ALIEN_LATIN:
+        assert classify_or_none_py(text, None, m) is None, name
+    for name, text in RESOLVABLE_GIBBERISH:
+        assert classify_or_none_py(text, None, m) is not None, name
+
+
+def test_unknown_script_ratio():
+    n, r = known_script_ratio("ᏣᎳᎩ ᎦᏬᏂᎯᏍᏗ ᎠᏂᏴᏫᏯ")
+    assert n >= 10 and r < 0.5
+    n, r = known_script_ratio("plain english text here with many letters")
+    assert r == 1.0
+    assert known_script_ratio("12345 !!! ...") == (0, 1.0)
+
+
+def test_margin_agrees_with_argmax():
+    """classify_margin_py's winner must equal classify_any's on every
+    training doc and fixture doc — the gate never changes WHO wins,
+    only whether the win is trusted."""
+    m = default_hashed_model()
+    texts = [t for _, t in training_corpus()[:50]]
+    texts += [t for _, t in fixture_rows_texts()]
+    for t in texts:
+        lang, margin, top1 = classify_margin_py(t, None, m)
+        assert lang == classify_any(t, None, m)
+        assert margin >= 0.0
+
+
+def fixture_rows_texts():
+    return [(i, t) for i, _, t in fixture_rows()]
+
+
+def test_pool_prose_never_gates():
+    """In-universe natural prose from the pools must always resolve —
+    the gate's false-positive guard."""
+    m = default_hashed_model()
+    for lang, text in training_corpus()[:200]:
+        assert classify_or_none_py(text, None, m) is not None, (lang, text[:40])
+
+
+def test_singleton_candidate_is_never_gated():
+    """A singleton candidate list is resolved upstream of the
+    classifier — the gate must pass it through even on alien text."""
+    m = default_hashed_model()
+    alien = UNKNOWN_SCRIPT[0][1]
+    assert classify_or_none_py(alien, ["en"], m) == "en"
+
+
+def test_detect_lang_py_unresolved_strategy():
+    alien = UNKNOWN_SCRIPT[0][1]
+    lang, strategy = detect_lang_py("https://example.com/page", alien, None)
+    assert lang is None and strategy == "unresolved"
+    # legacy force-argmax still available
+    lang2, strategy2 = detect_lang_py(
+        "https://example.com/page", alien, None, unresolved=False
+    )
+    assert lang2 is not None and strategy2 == "classifier"
+
+
+def test_with_cascade_unresolved_stratum(spark):
+    """Column cascade parity: unknown-script doc -> NULL lang_pred,
+    strategy 'unresolved'; resolved strata unaffected."""
+    from hyperpolyglot_spark.operators.cascade import with_cascade
+
+    rows = [
+        ("https://example.com/a", UNKNOWN_SCRIPT[0][1], None),
+        ("https://example.com/b", ALIEN_LATIN[0][1], None),
+        ("https://example.de/c", "ein kleiner text über den markt", None),
+        ("https://site.org/fr/d", "le marché est plein de gens", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, meta_tag string")
+    got = {
+        r["url"][-1]: (r["lang_pred"], r["strategy"])
+        for r in with_cascade(df, spark).collect()
+    }
+    assert got["a"] == (None, "unresolved")
+    assert got["b"] == (None, "unresolved")
+    # .de TLD resolves upstream of the classifier — never gated
+    assert got["c"][1] in ("tld", "heuristics", "meta", "classifier")
+    assert got["c"][0] is not None
+    # spec parity on every row
+    for url, text, meta in rows:
+        want = detect_lang_py(url, text, meta)
+        assert got[url[-1]] == want, url
+
+
+def test_pipeline_label_unresolved():
+    """py_label_page end-to-end on an unknown-script page: NULL lang,
+    'unresolved' strategy, no perplexity drop (unknown lang has no LM),
+    quality rules still apply independently."""
+    from hyperpolyglot_spark.plans.pipeline import py_label_page
+
+    body = (UNKNOWN_SCRIPT[0][1] + " ") * 20
+    html = f"<html><body><p>{body}</p></body></html>".encode()
+    row = py_label_page("https://example.com/x", html)
+    assert row["lang_pred"] is None
+    assert row["strategy"] == "unresolved"
+    assert row["perplexity"] is None

@@ -73,6 +73,39 @@ def expected_langid_predictions() -> pd.DataFrame:
     )
 
 
+def expected_langid_unresolved() -> pd.DataFrame:
+    """classify_or_none_py (default hashed model, full universe) over
+    doc_id<100 of documents plus the out-of-universe fixture — the
+    open-world terminal the Spark query must reproduce, including which
+    fixture docs are unresolved (NULL lang_pred)."""
+    from hyperpolyglot_spark.datagen.unknown import fixture_rows
+    from hyperpolyglot_spark.functions.langid import (
+        classify_or_none_py,
+        default_hashed_model,
+        training_corpus,
+    )
+
+    model = default_hashed_model()
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE doc_id < 100 ORDER BY doc_id"
+    ).fetchall()
+    rows = (
+        list(rows)
+        + [(i, t) for i, _, t in fixture_rows()]
+        + [(20_000 + i, t) for i, (_, t) in enumerate(training_corpus()[:30])]
+    )
+    out = []
+    for doc_id, text in rows:
+        pred = classify_or_none_py(text, [], model)
+        out.append(
+            (doc_id, pred, "unresolved" if pred is None else "classifier")
+        )
+    return pd.DataFrame(
+        out, columns=["doc_id", "lang_pred", "strategy"]
+    ).astype({"doc_id": "int64"})
+
+
 def expected_ivf_topk() -> pd.DataFrame:
     """numpy replication of ivf_centroids (seeds = 8 lowest ids, one
     refinement pass) + 4-cell probe + exact top-10 within the probed
@@ -223,6 +256,7 @@ def main():
     tables = {
         "neardup_simhash_pairs": expected_simhash_pairs(),
         "langid_predict_documents": expected_langid_predictions(),
+        "langid_unresolved": expected_langid_unresolved(),
         "embedding_ann_ivf": expected_ivf_topk(),
         "embedding_knn_blocked": expected_knn_blocked(),
         "doc_token_nb": expected_token_nb(),
@@ -240,6 +274,7 @@ def main():
     crosscheck(
         spark, "langid_predict_documents", tables["langid_predict_documents"]
     )
+    crosscheck(spark, "langid_unresolved", tables["langid_unresolved"])
     crosscheck(
         spark,
         "embedding_ann_ivf",
