@@ -315,8 +315,7 @@ def _script_re(script: str):
     return got
 
 
-def known_script_ratio(text: str) -> tuple[int, float]:
-    """(n_letters, fraction of them inside known-script ranges)."""
+def _known_letter_re():
     global _KNOWN_LETTER_RE
     if _KNOWN_LETTER_RE is None:
         import re as _re
@@ -324,10 +323,25 @@ def known_script_ratio(text: str) -> tuple[int, float]:
         from .quality import KNOWN_LETTER_CLASS
 
         _KNOWN_LETTER_RE = _re.compile(KNOWN_LETTER_CLASS)
-    n_alpha = sum(c.isalpha() for c in text)
+    return _KNOWN_LETTER_RE
+
+
+def known_script_ratio(text: str) -> tuple[int, float]:
+    """(n_letters, fraction of them inside known-script ranges).
+    Mask fast path (quality.char_mask — one utf-32 decode, two
+    gathers); regex/isalpha fallback keeps identical semantics."""
+    from .quality import alpha_mask, char_mask, text_codes
+
+    codes = text_codes(text)
+    if codes is None:
+        n_alpha = sum(c.isalpha() for c in text)
+        if not n_alpha:
+            return 0, 1.0
+        return n_alpha, len(_known_letter_re().findall(text)) / n_alpha
+    n_alpha = int(alpha_mask()[codes].sum())
     if not n_alpha:
         return 0, 1.0
-    return n_alpha, len(_KNOWN_LETTER_RE.findall(text)) / n_alpha
+    return n_alpha, int(char_mask(_known_letter_re())[codes].sum()) / n_alpha
 
 
 def classify_or_none_py(
@@ -352,10 +366,16 @@ def classify_or_none_py(
         return None
     if gate and n_alpha >= MIN_SCRIPT_LETTERS:
         from .langdata import LANG_INFO
+        from .quality import char_mask, text_codes
 
         info = LANG_INFO.get(lang)
         if info is not None:
-            hits = len(_script_re(info["script"]).findall(text))
+            rx = _script_re(info["script"])
+            codes = text_codes(text)
+            if codes is None:
+                hits = len(rx.findall(text))
+            else:
+                hits = int(char_mask(rx)[codes].sum())
             if hits / n_alpha < PRED_SCRIPT_MIN_RATIO:
                 return None
     return lang

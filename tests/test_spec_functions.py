@@ -216,3 +216,40 @@ def test_train_py_logprobs_normalize():
     model = train_py([("xx", "abcabc")])
     total = sum(math.exp(p) for p in model["xx"].values())
     assert total == pytest.approx(1.0)
+
+
+def test_char_mask_parity_with_regex():
+    """The mask fast path (quality.char_mask / alpha_mask) must agree
+    with the spec regexes char-for-char on adversarial inputs: every
+    known-script boundary, unicode whitespace (NEL, NBSP, ideographic
+    space), astral symbols (emoji), and combining marks."""
+    from hyperpolyglot_spark.functions.quality import (
+        _HANGUL_ANY_RE,
+        _SPACELESS_RE,
+        _SYMBOL_RE,
+        _scan_counts,
+        alpha_mask,
+        text_codes,
+    )
+
+    samples = [
+        "hello world 123",
+        "@@@ ### !!! $$$",
+        "中文没有空格的文本还有〱〒〓",  # cjk + cjk symbols
+        "한국어 조사 테스트 에서",
+        "mixed 中文 and ascii ᏣᎳᎩ plus    　 spaces",
+        "emoji 😀🎉🚀 and astral 𐐔𐐯𐑅",
+        "\x85\x1c\x1d\x1e\x1f edge whitespace-ish controls",
+        "combining á ë marks ก้ไทย",
+        "ÀàʯḀỿͰϿЀӿ԰֏֐׿؀ۿ boundary letters",
+        "",
+    ]
+    for t in samples:
+        want = (
+            len(_SYMBOL_RE.findall(t)),
+            len(_SPACELESS_RE.findall(t)),
+            _HANGUL_ANY_RE.search(t) is not None,
+        )
+        assert _scan_counts(t) == want, t
+        codes = text_codes(t)
+        assert int(alpha_mask()[codes].sum()) == sum(c.isalpha() for c in t), t
