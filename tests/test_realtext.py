@@ -55,16 +55,19 @@ def test_fixture_shape():
 def test_dict_nb_transfer_accuracy():
     m = default_model()
     acc, errs = _accuracy(lambda p: classify_py(p, None, m))
-    # measured 0.983 (3/180: zh->en one passage, ms->id, mk->ru)
+    # measured 0.987 over 306 passages / 102 langs (4 misses:
+    # zh->en one passage, ms->id, mk->ru, su->id — all documented
+    # confusable pairs)
     assert acc >= 0.95, (acc, errs)
 
 
 def test_hashed_nb_transfer_accuracy():
     hm = default_hashed_model()
     acc, errs = _accuracy(lambda p: classify_hashed_py(p, None, hm))
-    # measured 0.961 at 16384 buckets over 180 passages; residual
-    # errors are the genuinely-hard pairs (zh/ja han overlap, short
-    # ko, uk/ru, ms/id, mk/ru). The 4096-bucket attractor: 0.47.
+    # measured 0.971 at 16384 buckets over 306 passages / 102
+    # langs; residual errors are the genuinely-hard pairs (zh/ja han
+    # overlap, short ko, uk/ru, ms/id, mk/ru, su/id, ga/gd). The
+    # 4096-bucket attractor: 0.47.
     assert acc >= 0.90, (acc, errs)
 
 
