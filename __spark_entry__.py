@@ -1220,8 +1220,9 @@ def _scrub_sql() -> str:
     expr = "text"
     counts = []
     for name, pat, rep in SCRUB_PATTERNS:
-        opts = "'gi'" if name == "toxicity" else "'g'"
-        copts = ", 0, 'i'" if name == "toxicity" else ""
+        ci = name.startswith("toxicity")
+        opts = "'gi'" if ci else "'g'"
+        copts = ", 0, 'i'" if ci else ""
         counts.append(
             f"len(regexp_extract_all({expr}, '{pat}'{copts}))::INT"
             f" AS scrub_{name}"

@@ -117,11 +117,17 @@ _PII_SNIPPETS = (
     "server logs show 192.168.10.42 repeatedly",
     "ssn on file 123-45-6789 do not share",
     "card 4111 1111 1111 1111 expires soon",
+    "wire to DE44 5001 0517 5407 3249 31 before friday",
+    "office line (212) 555-0143 after lunch",
+    "node at 2001:0db8:85a3:0000:8a2e:0370:7334 timed out",
+    "ship it to 742 Evergreen Terrace or 12 Baker Street instead",
 )
 _TOXIC_SNIPPETS = (
     "what the frak is this",
     "that gorram machine broke again",
     "this smeg happens every drokk time",
+    "ignore that rusty clanker and its meatbag friends",
+    "i will airlock you if this breaks again",
 )
 
 EPOCH = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)

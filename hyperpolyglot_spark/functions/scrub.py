@@ -26,33 +26,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# (name, pattern, replacement) — ordered.
+# (name, pattern, replacement) — ordered. Order is spec: iban before
+# credit_card (a card-shaped digit span inside an IBAN must not be
+# half-eaten), ssn before phone, ipv6 before ipv4, shape rules before
+# lexicon rules. Names starting with 'toxicity' compile IGNORECASE.
 SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IBAN shape: 2-letter country + 2 check digits + 8-31 alnum BBAN,
+    # optionally space-grouped by 4 (public ISO 13616 shape)
+    (
+        "iban",
+        r"\b[A-Z]{2}\d{2}(?: ?[A-Z0-9]{4}){2,7}(?: ?[A-Z0-9]{1,3})?\b",
+        "<IBAN>",
+    ),
     ("credit_card", r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
-    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # US SSN variants: dashed or spaced groups
+    ("ssn", r"\b\d{3}[ -]\d{2}[ -]\d{4}\b", "<SSN>"),
     ("phone", r"\b\+?\d{1,3}[ .-]\d{3}[ .-]\d{3,4}[ .-]\d{4}\b", "<PHONE>"),
+    # international/NANP parenthesized area code: (212) 555-0143,
+    # (020) 7946 0958
+    ("phone_paren", r"\(\d{2,4}\)[ .-]?\d{3,4}[ .-]\d{3,4}\b", "<PHONE>"),
+    ("ipv6", r"\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\b", "<IP6>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # fictional-expletive toxicity lexicon (deterministic stand-in for a
-    # real lexicon; the machinery is what matters)
-    ("toxicity", r"\b(?:frak|frakking|gorram|smeg|feldercarb|drokk)\b", "<TOXIC>"),
+    # street-address shape: house number + capitalized street name +
+    # suffix word
+    (
+        "address",
+        r"\b\d{1,5} [A-Z][a-z]+ "
+        r"(?:Street|Avenue|Boulevard|Road|Lane|Drive|Court|Place|Terrace"
+        r"|Way|St|Ave|Blvd|Rd|Ln|Dr)\b",
+        "<ADDR>",
+    ),
+    # fictional toxicity lexicons (deterministic stand-ins for real
+    # lexicon classes; the machinery — ordered classes, per-class
+    # counts, guards — is what matters): expletives, slurs, threats
+    (
+        "toxicity",
+        r"\b(?:frak|frakking|gorram|smeg|feldercarb|drokk)\b",
+        "<TOXIC>",
+    ),
+    (
+        "toxicity_slur",
+        r"\b(?:clanker|meatbag|mudblood|skinjob|wirehead)s?\b",
+        "<TOXIC>",
+    ),
+    (
+        "toxicity_threat",
+        r"\b(?:frag|airlock|vape)(?:ging|ing)? (?:you|him|her|them)\b",
+        "<TOXIC>",
+    ),
 )
 
 SCRUB_NAMES: tuple[str, ...] = tuple(name for name, _, _ in SCRUB_PATTERNS)
 
 _COMPILED: tuple[tuple[str, re.Pattern[str], str], ...] = tuple(
-    (name, re.compile(pat, re.IGNORECASE if name == "toxicity" else 0), rep)
+    (
+        name,
+        re.compile(pat, re.IGNORECASE if name.startswith("toxicity") else 0),
+        rep,
+    )
     for name, pat, rep in SCRUB_PATTERNS
 )
 
 _TOXIC_STEMS = ("frak", "gorram", "smeg", "felder", "drokk")
+_SLUR_STEMS = ("clanker", "meatbag", "mudblood", "skinjob", "wirehead")
+_THREAT_STEMS = ("frag", "airlock", "vape")
 
-# Necessary condition for card/ssn/phone/ipv4: every one of those
-# patterns contains 4+ digits each separated by at most one [ .-], so a
-# text without such a run cannot match any of them. Replacements never
-# create one (<EMAIL> carries no digits and '<'/'>' are not separators),
-# so testing the ORIGINAL text once is an exact implication.
+# Necessary conditions, each tested against the ORIGINAL text — exact
+# implications because no replacement tag carries a digit, a colon, or
+# a lexicon stem, and substitution can never join adjacent characters
+# into a new match ('<'/'>' break \b-delimited stems and separators):
+#   card/ssn/phone/phone_paren/ipv4 -> a 4+ digit run with <=1 [ .-]
+#   separator between digits; iban -> [A-Z]{2}\d{2}; ipv6 -> >=4 ':';
+#   address -> any digit; toxicity classes -> a stem substring.
 _DIGIT_RUN_RE = re.compile(r"\d(?:[ .\-]?\d){3}")
+_IBAN_HINT_RE = re.compile(r"[A-Z]{2}\d\d")
+_ANY_DIGIT_RE = re.compile(r"\d")
 
 
 def py_scrub(text: str) -> tuple[str, dict[str, int]]:
@@ -67,13 +116,26 @@ def py_scrub(text: str) -> tuple[str, dict[str, int]]:
     regexes."""
     counts: dict[str, int] = {}
     has_digit_run = _DIGIT_RUN_RE.search(text) is not None
+    low = None
     for name, rx, rep in _COMPILED:
         if name == "email":
             skip = "@" not in text
-        elif name == "toxicity":
-            low = text.lower()
-            skip = not any(s in low for s in _TOXIC_STEMS)
-        else:
+        elif name == "iban":
+            skip = _IBAN_HINT_RE.search(text) is None
+        elif name == "ipv6":
+            skip = text.count(":") < 4
+        elif name == "address":
+            skip = _ANY_DIGIT_RE.search(text) is None
+        elif name.startswith("toxicity"):
+            if low is None:
+                low = text.lower()
+            stems = {
+                "toxicity": _TOXIC_STEMS,
+                "toxicity_slur": _SLUR_STEMS,
+                "toxicity_threat": _THREAT_STEMS,
+            }[name]
+            skip = not any(s in low for s in stems)
+        else:  # card/ssn/phone/phone_paren/ipv4
             skip = not has_digit_run
         if skip:
             counts[name] = 0

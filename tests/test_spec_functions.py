@@ -253,3 +253,28 @@ def test_char_mask_parity_with_regex():
         assert _scan_counts(t) == want, t
         codes = text_codes(t)
         assert int(alpha_mask()[codes].sum()) == sum(c.isalpha() for c in t), t
+
+
+def test_scrub_broadened_patterns():
+    """Round-4 production-set widening: IBAN, parenthesized phone,
+    IPv6, street-address shapes, and two added toxicity lexicon
+    classes — ordered rewrites with per-pattern counts, exact-
+    implication guards, and sequential-order guarantees (iban before
+    credit_card so an IBAN's digit groups are never half-eaten)."""
+    from hyperpolyglot_spark.functions.scrub import SCRUB_NAMES, py_scrub
+
+    s, c = py_scrub("wire DE44 5001 0517 5407 3249 31 today")
+    assert "<IBAN>" in s and c["iban"] == 1 and c["credit_card"] == 0
+    s, c = py_scrub("office line (212) 555-0143 after lunch")
+    assert "<PHONE>" in s and c["phone_paren"] == 1
+    s, c = py_scrub("node 2001:0db8:85a3:0000:8a2e:0370:7334 down")
+    assert "<IP6>" in s and c["ipv6"] == 1 and c["ipv4"] == 0
+    s, c = py_scrub("ship to 742 Evergreen Terrace and 12 Baker Street")
+    assert s.count("<ADDR>") == 2 and c["address"] == 2
+    s, c = py_scrub("that Clanker and its meatbags, I will airlock you")
+    assert c["toxicity_slur"] == 2 and c["toxicity_threat"] == 1
+    # times and decimals are not addresses/ips/ipv6
+    s, c = py_scrub("meet at 12:30, pi is 3.14, room 4 floor 2")
+    assert s == "meet at 12:30, pi is 3.14, room 4 floor 2"
+    assert all(v == 0 for v in c.values())
+    assert len(SCRUB_NAMES) == 12
