@@ -33,17 +33,137 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 16
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> channel count (palette intentionally unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """Netpbm binary decode (P6 RGB / P5 greyscale, 8-bit) — public
+    format, header is ASCII tokens with '#' comments, then raw pixels."""
+    tokens: list[bytes] = []
+    i = 2  # past magic
+    while len(tokens) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment to end of line
+            while i < len(b) and b[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        tokens.append(b[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    ch = 3 if b[:2] == b"P6" else 1
+    arr = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=i)
+    return arr.reshape(h, w, ch).copy()
+
+
+def _unfilter_png(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (spec 9.2): vectorized None/Sub/Up
+    (Sub is a per-lane prefix sum mod 256), per-pixel loops only for
+    Average and Paeth, which have true sequential data dependencies."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft, row = int(rows[y, 0]), rows[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: prefix sum over pixels within each lane
+            lanes = row.reshape(-1, bpp)
+            rec = (np.cumsum(lanes, axis=0) % 256).reshape(stride)
+        elif ft == 2:  # Up
+            rec = (row + prev) % 256
+        elif ft == 3:  # Average
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + (a + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                bb = prev[x]
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = bb
+                else:
+                    pr = c
+                rec[x] = (row[x] + pr) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decode: 8-bit greyscale/RGB(+alpha),
+    non-interlaced (the shapes a training-data pipeline normalizes to
+    anyway). Palette and 16-bit stay NotImplementedError."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, w = 8, None
+    idat = []
+    while i + 8 <= len(b):
+        (length,) = np.frombuffer(b, dtype=">u4", count=1, offset=i)
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + int(length)]
+        if ctype == b"IHDR":
+            w, h = (
+                int(x) for x in np.frombuffer(data, dtype=">u4", count=2)
+            )
+            depth, color, _, _, interlace = data[8:13]
+            if depth != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError("palette PNG not supported")
+            if interlace:
+                raise NotImplementedError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + int(length)  # length + type + data + crc
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    ch = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (w * ch + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    return _unfilter_png(raw, h, w * ch, ch).reshape(h, w, ch).copy()
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to HxWxC uint8.
 
-    STUB: real decoding needs an image library not present in this
-    container. With fake=True returns a deterministic pseudo-image
-    derived from the payload hash (same shape contract), so the full
-    distributed pipeline is testable end-to-end."""
+    REAL decode for the public stdlib-feasible formats: PNG (zlib
+    inflate + numpy unfilter; 8-bit grey/RGB/RGBA, non-interlaced) and
+    binary netpbm (P6/P5). Other formats (JPEG's DCT entropy coding
+    needs a real imaging library this container doesn't ship) raise
+    NotImplementedError unless fake=True, which returns a deterministic
+    pseudo-image derived from the payload hash (same shape contract) so
+    the full distributed pipeline stays testable end-to-end."""
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_ppm(payload)
     if not fake:
         raise NotImplementedError(
-            "image decode requires an imaging library; "
-            "re-run with fake=True for the deterministic stub"
+            "native decode covers PNG and binary netpbm; other formats "
+            "need an imaging library (re-run with fake=True for the "
+            "deterministic stub)"
         )
     d = hashlib.blake2b(payload, digest_size=48).digest()
     side = 4

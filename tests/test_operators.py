@@ -464,3 +464,119 @@ def test_hash64_batch_is_padding_width_independent():
     tricky = ["a", "a\x00", "a\x00\x00", "ab"]
     hs = _hash64_batch(tricky)
     assert len(set(int(x) for x in hs)) == len(tricky)
+
+
+# --- real image decode (round 4) -----------------------------------------
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct, zlib as z
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", z.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(pixels, color_type, filters):
+    """Hand-rolled PNG encoder (spec formulas, independent of the
+    decoder): filter each scanline with the REQUESTED filter type so
+    the test exercises every unfilter branch."""
+    import struct, zlib as z
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = arr.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int64)
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        if ft == 0:
+            out = row
+        elif ft == 1:
+            a = np.concatenate([np.zeros(ch, np.int64), row[:-ch]])
+            out = (row - a) % 256
+        elif ft == 2:
+            out = (row - prev) % 256
+        elif ft == 3:
+            a = np.concatenate([np.zeros(ch, np.int64), row[:-ch]])
+            out = (row - (a + prev) // 2) % 256
+        else:  # paeth
+            out = np.zeros(w * ch, np.int64)
+            for x in range(w * ch):
+                a = row[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                b = prev[x]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (row[x] - pr) % 256
+        raw.extend(int(v) for v in out)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        b = _make_png(px, color_type=2, filters=filters)
+        got = decode_image(b)
+        assert got.shape == (5, 4, 3) and (got == px).all(), filters
+
+
+def test_decode_png_grey_and_rgba():
+    import numpy as np
+
+    grey = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    assert (decode_image(_make_png(grey, 0, [0, 1, 2])) == grey).all()
+    rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+    assert (decode_image(_make_png(rgba, 6, [4, 3])) == rgba).all()
+
+
+def test_decode_ppm():
+    import numpy as np
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    b = b"P6\n# a comment\n4 2\n255\n" + px.tobytes()
+    assert (decode_image(b) == px).all()
+    grey = np.arange(8, dtype=np.uint8).reshape(2, 4, 1)
+    b5 = b"P5 4 2 255\n" + grey.tobytes()
+    assert (decode_image(b5) == grey).all()
+
+
+def test_media_features_real_png(spark):
+    """Distributed end-to-end: real PNG payloads decode natively inside
+    the mapInPandas feature extractor (fake path untouched for
+    non-image payloads)."""
+    import numpy as np
+
+    rows = []
+    for i in range(6):
+        rng = np.random.RandomState(i)
+        px = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        rows.append((i, "image", bytearray(_make_png(px, 2, [i % 5])), 4, 4, None, None))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int,"
+        " height int, sample_rate int, duration_ms int",
+    )
+    out = {r["media_id"]: r for r in media_features(media).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        rng = np.random.RandomState(i)
+        px = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        want = np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])
+        got = np.array(out[i]["features"][:6])
+        assert np.allclose(got, want, atol=1e-4), i
