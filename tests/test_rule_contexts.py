@@ -176,3 +176,31 @@ def test_all_dim_tables_reference_known_languages():
     # INTERPRETER_LANGS is deliberately NOT checked here: it is the
     # reference's shebang domain (programming-language names), a
     # separate universe from the web-pipeline natural-language codes.
+
+
+def test_every_reachable_stage4_set_has_a_context():
+    """Coverage audit (VERDICT r3 #8, mirroring heuristics.yml's
+    per-extension completeness): enumerate every candidate set that
+    can reach stage 4 — each multi-language TLD entry, and each TLD
+    set narrowed by each possible meta-tag candidate list — and assert
+    it has a RULE_CONTEXTS entry, i.e. the cascade never silently
+    falls back to the one-marker filter for a reachable context."""
+    from hyperpolyglot_spark.functions.langdata import (
+        META_LANG_CANDS,
+        TLD_LANGS,
+    )
+    from hyperpolyglot_spark.functions.rules import RULE_CONTEXTS
+    from hyperpolyglot_spark.operators.cascade import filter_candidates
+
+    missing = set()
+    for tld, cands in TLD_LANGS.items():
+        s = list(cands)
+        if len(s) > 1 and frozenset(s) not in RULE_CONTEXTS:
+            missing.add((tld, "-", frozenset(s)))
+        for meta, mc in META_LANG_CANDS.items():
+            t = filter_candidates(s, list(mc))
+            if len(t) > 1 and frozenset(t) not in RULE_CONTEXTS:
+                missing.add((tld, meta, frozenset(t)))
+    assert not missing, sorted(
+        (tld, meta, sorted(fs)) for tld, meta, fs in missing
+    )
