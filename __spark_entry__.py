@@ -690,13 +690,17 @@ def classifier_training_agg(spark, sf_dir):
         .groupBy("lang", "gram")
         .agg(F.count("*").alias("cnt"))
     )
-    # two consumers (per-lang totals + rank) -> pin the aggregated
-    # table so the explode+agg runs once; it is distinct (lang, gram)
-    # rows, corpus-independent in size. Totals are one row per
-    # language -> broadcast join instead of an unbounded sum-window,
-    # which would materialize and sort every lang partition a second
-    # time (round-3 regression suspect; parallelism bounded by #langs).
-    counted = counted.persist()
+    # two consumers (per-lang totals + rank) -> materialize the
+    # aggregated table once; it is distinct (lang, gram) rows,
+    # corpus-independent in size. localCheckpoint, NOT persist: a
+    # persisted plan is cache-keyed by its analyzed plan and silently
+    # substitutes into OTHER queries sharing the same subtree
+    # (hashed_gram_buckets' raw-gram count scan — caught by
+    # test_plan_quality). Totals are one row per language -> broadcast
+    # join instead of an unbounded sum-window, which would materialize
+    # and sort every lang partition a second time (round-3 regression
+    # suspect; parallelism bounded by #langs).
+    counted = counted.localCheckpoint(eager=True)
     totals = counted.groupBy("lang").agg(F.sum("cnt").alias("_total"))
     wr = Window.partitionBy("lang").orderBy(F.desc("cnt"), "gram")
     return (
