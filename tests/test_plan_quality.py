@@ -180,3 +180,21 @@ def test_hashed_gram_buckets_hashes_distinct_grams_only(spark):
     # and exactly two gram-side exchanges (one per aggregation pair) —
     # the window partial adds its own; no exchange explosion
     assert plan.count("Exchange") <= 3
+
+
+def test_classifier_training_agg_plan_shape(spark):
+    """Round-4 rewrite assertion: per-lang totals come from a BROADCAST
+    hash join (not an unbounded-frame sum window, which blocked the
+    rank-limit pushdown and re-sorted every lang partition), and the
+    top-200 filter is pushed below the exchange as partial+final
+    WindowGroupLimit — at scale only ~200 rows per language cross the
+    wire instead of every distinct (lang, gram)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["classifier_training_agg"](
+        spark, "/root/testdata/sf0.01"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Window [") == 1  # only the rank window remains
