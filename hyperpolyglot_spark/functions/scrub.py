@@ -103,6 +103,28 @@ _DIGIT_RUN_RE = re.compile(r"\d(?:[ .\-]?\d){3}")
 _IBAN_HINT_RE = re.compile(r"[A-Z]{2}\d\d")
 _ANY_DIGIT_RE = re.compile(r"\d")
 
+# The three toxicity classes use disjoint \b-delimited word sets, and
+# a rewrite can never create or destroy another class's match ('<'/'>'
+# break stems), so the sequential per-class scans are equivalent to ONE
+# combined scan with per-class attribution — a 3x cut on lexicon-
+# bearing docs. Built from SCRUB_PATTERNS so the table (and the
+# generated sequential DuckDB oracle) stays the single source of truth.
+_TOX_NAMES = tuple(n for n, _, _ in SCRUB_PATTERNS if n.startswith("toxicity"))
+_TOX_COMBINED = re.compile(
+    "|".join(
+        f"(?P<{name}>{pat})"
+        for name, pat, _ in SCRUB_PATTERNS
+        if name.startswith("toxicity")
+    ),
+    re.IGNORECASE,
+)
+_TOX_REPLACEMENT = "<TOXIC>"
+_TOX_STEMS_BY_NAME = {
+    "toxicity": _TOXIC_STEMS,
+    "toxicity_slur": _SLUR_STEMS,
+    "toxicity_threat": _THREAT_STEMS,
+}
+
 
 def py_scrub(text: str) -> tuple[str, dict[str, int]]:
     """Pure-Python spec: sequentially rewrite, count per pattern.
@@ -116,8 +138,13 @@ def py_scrub(text: str) -> tuple[str, dict[str, int]]:
     regexes."""
     counts: dict[str, int] = {}
     has_digit_run = _DIGIT_RUN_RE.search(text) is not None
-    low = None
+    tox_done = False
     for name, rx, rep in _COMPILED:
+        if name.startswith("toxicity"):
+            if not tox_done:
+                text = _scrub_toxicity(text, counts)
+                tox_done = True
+            continue
         if name == "email":
             skip = "@" not in text
         elif name == "iban":
@@ -126,15 +153,6 @@ def py_scrub(text: str) -> tuple[str, dict[str, int]]:
             skip = text.count(":") < 4
         elif name == "address":
             skip = _ANY_DIGIT_RE.search(text) is None
-        elif name.startswith("toxicity"):
-            if low is None:
-                low = text.lower()
-            stems = {
-                "toxicity": _TOXIC_STEMS,
-                "toxicity_slur": _SLUR_STEMS,
-                "toxicity_threat": _THREAT_STEMS,
-            }[name]
-            skip = not any(s in low for s in stems)
         else:  # card/ssn/phone/phone_paren/ipv4
             skip = not has_digit_run
         if skip:
@@ -143,6 +161,27 @@ def py_scrub(text: str) -> tuple[str, dict[str, int]]:
         text, n = rx.subn(rep, text)
         counts[name] = n
     return text, counts
+
+
+def _scrub_toxicity(text: str, counts: dict[str, int]) -> str:
+    """One combined scan for all toxicity classes (see _TOX_COMBINED
+    note) — identical output to the sequential per-class scans."""
+    for n in _TOX_NAMES:
+        counts[n] = 0
+    low = text.lower()
+    active = [
+        n
+        for n, stems in _TOX_STEMS_BY_NAME.items()
+        if any(s in low for s in stems)
+    ]
+    if not active:
+        return text
+
+    def _sub(m: "re.Match[str]") -> str:
+        counts[m.lastgroup] += 1
+        return _TOX_REPLACEMENT
+
+    return _TOX_COMBINED.sub(_sub, text)
 
 
 _SCRUB_SCHEMA = T.StructType(

@@ -278,3 +278,29 @@ def test_scrub_broadened_patterns():
     assert s == "meet at 12:30, pi is 3.14, room 4 floor 2"
     assert all(v == 0 for v in c.values())
     assert len(SCRUB_NAMES) == 12
+
+
+def test_fused_toxicity_equals_sequential():
+    """py_scrub fuses the three toxicity classes into one combined
+    scan; output must equal the literal sequential per-class rewrites
+    the table (and the generated DuckDB oracle) describes."""
+    from hyperpolyglot_spark.functions.scrub import _COMPILED, py_scrub
+
+    def sequential(text):
+        counts = {}
+        for name, rx, rep in _COMPILED:
+            text, n = rx.subn(rep, text)
+            counts[name] = n
+        return text, counts
+
+    cases = [
+        "what the frak is this gorram clanker, i will airlock you",
+        "FRAKKING meatbags and mudbloods, vape them all",
+        "frag you and frag them, frakking clankers",
+        "I will vaping them because airlocking you failed",
+        "frak@example.com carries a stem inside an email",
+        "clean text with none of it",
+        "wire DE44 5001 0517 5407 3249 31 to the gorram smeg bank",
+    ]
+    for t in cases:
+        assert py_scrub(t) == sequential(t), t
