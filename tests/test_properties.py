@@ -199,3 +199,28 @@ def test_hashed_classifier_candidate_subset_matches_reference(s, cands):
         if first or score > bs:
             best, bs, first = lang, score, False
     assert got == best
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    color=st.sampled_from([0, 2, 6]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_decode_roundtrip_property(h, w, color, filters, seed):
+    """decode(encode(pixels)) == pixels for arbitrary shapes, color
+    types, and per-row filter choices — the encoder applies the PNG
+    spec filter formulas independently of the decoder's unfilter."""
+    import numpy as np
+
+    from hyperpolyglot_spark.operators.multimodal import decode_image
+    from tests.test_operators import _make_png
+
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    got = decode_image(_make_png(px, color, filters))
+    assert got.shape == (h, w, ch)
+    assert (got == px).all()
