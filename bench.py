@@ -51,6 +51,8 @@ HEADLINE = [
     "neardup_incremental_indexed",
     "embedding_knn_blocked",
     "doc_token_nb",
+    # round-4 operators
+    "langid_unresolved",
 ]
 
 
