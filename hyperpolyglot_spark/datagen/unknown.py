@@ -99,6 +99,49 @@ ALIEN_LATIN: tuple[tuple[str, str], ...] = (
 # test pins the split so gate drift is caught immediately.
 RESOLVABLE_GIBBERISH: tuple[tuple[str, str], ...] = ()
 
+# The gate's HARDEST case: real languages outside the 102-universe
+# written in a KNOWN script (Latin), so neither the unknown-script
+# stage nor script-coherence can fire — only the NB noise gate can.
+# Outcomes are text-dependent and pinned per doc by the frozen oracle
+# and test_unresolved: some gate to None, some false-resolve to their
+# nearest in-universe relative (Samoan/Maori -> a Romance/Austronesian
+# confusable) — the same recall limit a fastText confidence cutoff
+# has, kept in the fixture so it is measured, not hidden. Original
+# everyday sentences (market / children reading), written for this
+# repo.
+REAL_OOV_LATIN: tuple[tuple[str, str], ...] = (
+    (
+        "quechua",
+        "Paqarin tutamanta qatuman rinchik, t'antata chantapis "
+        "challwata rantinapaq; warmakunaqa wasipi qillqasqakunata "
+        "ñawinchanku, paramantam mana lluqsinkuchu.",
+    ),
+    (
+        "samoan",
+        "I le taeao uma e o atu matou i le maketi e faatau mai falaoa "
+        "ma ia; e nonofo tamaiti i le fale e faitau a latou tusi pe a "
+        "timu le aso atoa.",
+    ),
+    (
+        "maori",
+        "Ka haere matou ki te makete i te ata ki te hoko taro me te "
+        "ika; ka noho nga tamariki ki te whare ki te panui pukapuka i "
+        "te ua o te ra.",
+    ),
+    (
+        "wolof",
+        "Suba teel lanuy dem marse ngir jend mburu ak jen; xale yi "
+        "dananu toog ci ker gi di jang teere yi ndax taw bi dafay "
+        "wacc bes bi yepp.",
+    ),
+    (
+        "hmong",
+        "Thaum sawv ntxov peb mus tom khw yuav mov ci thiab ntses; "
+        "cov menyuam nyob hauv tsev nyeem lawv cov ntawv vim los nag "
+        "tas hnub.",
+    ),
+)
+
 FIXTURE_BASE_ID = 10_000
 
 
@@ -106,7 +149,7 @@ def fixture_rows() -> list[tuple[int, str, str]]:
     """(doc_id, name, text), deterministic ids from FIXTURE_BASE_ID."""
     rows = []
     for i, (name, text) in enumerate(
-        UNKNOWN_SCRIPT + ALIEN_LATIN + RESOLVABLE_GIBBERISH
+        UNKNOWN_SCRIPT + ALIEN_LATIN + RESOLVABLE_GIBBERISH + REAL_OOV_LATIN
     ):
         rows.append((FIXTURE_BASE_ID + i, name, text))
     return rows

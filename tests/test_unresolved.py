@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from hyperpolyglot_spark.datagen.unknown import (
     ALIEN_LATIN,
+    REAL_OOV_LATIN,
     RESOLVABLE_GIBBERISH,
     UNKNOWN_SCRIPT,
     fixture_rows,
@@ -36,6 +37,23 @@ def test_fixture_split_is_pinned():
         assert classify_or_none_py(text, None, m) is None, name
     for name, text in RESOLVABLE_GIBBERISH:
         assert classify_or_none_py(text, None, m) is not None, name
+
+
+def test_real_oov_latin_outcomes_pinned():
+    """Real out-of-universe languages in a KNOWN script — only the NB
+    noise gate can fire. Per-doc outcomes pinned: gate drift that
+    flips a false-negative into a catch (or vice versa) must update
+    this table AND regenerate the frozen oracle."""
+    m = default_hashed_model()
+    expected = {
+        "quechua": None,  # caught by the noise gate
+        "samoan": "it",  # false-resolves: nearest Romance confusable
+        "maori": "it",
+        "wolof": "ms",  # nearest Austronesian confusable
+        "hmong": "uz",
+    }
+    for name, text in REAL_OOV_LATIN:
+        assert classify_or_none_py(text, None, m) == expected[name], name
 
 
 def test_unknown_script_ratio():
