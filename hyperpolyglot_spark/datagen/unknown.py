@@ -21,6 +21,11 @@ stages of langid's unresolved gate:
     language a decisive margin. Kept in the fixture (and the oracled
     query) so the gate's recall limit is measured, not hidden — the
     same trade a fastText confidence cutoff makes.
+  * ``REAL_OOV_LATIN`` — the hardest case: real languages outside the
+    universe written in a KNOWN script, where only the NB noise gate
+    can fire; per-doc outcomes (caught vs nearest-relative
+    false-resolve) are pinned by the frozen oracle and
+    tests/test_unresolved.py.
 
 All content is original/hand-written for this repo (the non-Latin
 passages are generic greetings/word lists, not copied prose).
