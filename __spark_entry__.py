@@ -968,6 +968,76 @@ def langid_unresolved(spark, sf_dir):
     )
 
 
+# messy-URL variants for canonical_url_dedup: five renderings of the
+# same logical page (host-casing, default port, tracking params,
+# fragment, trailing/duplicate slashes) — shared between the Spark
+# builder and the DuckDB oracle so the two sides construct identical
+# input. (prefix, midfix, suffix); url = prefix || h || midfix || g
+# || suffix with h = (doc_id/5)%7, g = doc_id/5 (integer division).
+_URL_VARIANTS = (
+    ("HTTPS://WWW.EXAMPLE", ".COM:443/articles//", "/?utm_source=feed&ref=rss#top"),
+    ("https://www.example", ".com/articles/", "?ref=rss"),
+    ("https://www.example", ".com:443/articles/", "/"),
+    ("https://www.example", ".com/articles/", "#section-2"),
+    ("https://www.example", ".com/articles/", "?fbclid=abc123"),
+)
+
+
+def canonical_url_dedup(spark, sf_dir):
+    """URL canonicalization + canonical-URL dedup — the crawl-dedup
+    stage upstream of content dedup (a CC-style pipeline collapses
+    recrawls of the same page by canonical URL before hashing any
+    content). Five messy renderings of each logical page are
+    synthesized deterministically from doc_id (the driver tables carry
+    no URL column), canonicalized with pure JVM regexp built-ins
+    (functions/urltools.py — no UDF, codegen'd, scan-projection cheap
+    at 10^12 urls), and grouped. The DuckDB oracle canonicalizes with
+    the SAME generated expression (one shared step table, dialect
+    differences handled by the generator)."""
+    from hyperpolyglot_spark.functions.urltools import canonical_url_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") / 5).cast("long") % 7
+    g = (F.col("doc_id") / 5).cast("long")
+    url = F.lit(None).cast("string")
+    for i, (p, m, s) in enumerate(_URL_VARIANTS):
+        url = F.when(
+            F.col("doc_id") % 5 == i,
+            F.concat(F.lit(p), h.cast("string"), F.lit(m),
+                     g.cast("string"), F.lit(s)),
+        ).otherwise(url)
+    messy = docs.withColumn("url", url)
+    return (
+        messy.withColumn("canon_url", canonical_url_col("url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("dups"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+    )
+
+
+def _canon_dedup_sql() -> str:
+    from hyperpolyglot_spark.functions.urltools import canonical_url_sql
+
+    whens = " ".join(
+        "WHEN {i} THEN '{p}' || CAST((doc_id // 5) % 7 AS VARCHAR) || "
+        "'{m}' || CAST(doc_id // 5 AS VARCHAR) || '{s}'".format(
+            i=i, p=p, m=m, s=s
+        )
+        for i, (p, m, s) in enumerate(_URL_VARIANTS)
+    )
+    canon = canonical_url_sql("url")
+    return f"""
+        SELECT {canon} AS canon_url, count(*) AS dups,
+               min(doc_id) AS rep_doc_id
+        FROM (
+          SELECT doc_id, CASE CAST(doc_id % 5 AS INT) {whens} END AS url
+          FROM documents)
+        GROUP BY canon_url
+    """
+
+
 # ======================================================================
 # embeddings: similarity search
 # ======================================================================
@@ -1093,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": doc_tokens,
         "langid_predict_documents": langid_predict_documents,
         "langid_unresolved": langid_unresolved,
+        "canonical_url_dedup": canonical_url_dedup,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
         "embedding_label_centroids": embedding_label_centroids,
@@ -1712,6 +1783,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang_pred, strategy
             FROM read_parquet('/root/repo/data/expected_sf0.01/langid_unresolved.parquet')
         """,
+        "canonical_url_dedup": _canon_dedup_sql(),
         "embedding_ann_ivf": """
             SELECT vec_id, round(cosine_raw, 6) AS cosine
             FROM read_parquet('/root/repo/data/expected_sf0.01/embedding_ann_ivf.parquet')

@@ -304,3 +304,48 @@ def test_fused_toxicity_equals_sequential():
     ]
     for t in cases:
         assert py_scrub(t) == sequential(t), t
+
+
+def test_canonical_url_py_vs_duckdb():
+    """The canonicalization expression is generated for both engines
+    from one step table — pin cross-engine parity on adversarial urls."""
+    import duckdb
+
+    from hyperpolyglot_spark.functions.urltools import (
+        canonical_url_sql,
+        py_canonical_url,
+    )
+
+    cases = [
+        "HTTPS://WWW.Site.COM:443/articles//42/?utm_source=feed&ref=rss#top",
+        "https://www.site.com/articles/42?id=7&utm_medium=email&x=1",
+        "http://host.org:80/a//b///c/",
+        "relative/path?utm_source=x",
+        "https://h.io/p?utm_a=1&utm_b=2&utm_c=3",
+        "https://h.io/p?a=1&ref=x&b=2",
+        "https://h.io/p?ref=x#f",
+        "https://CASE.Sensitive.Path.COM/Articles/Keep/Case",
+        "ftp://Weird.Scheme.ORG:443/x",
+        "https://www.site.com/",
+        "https://www.site.com",
+        "",
+    ]
+    con = duckdb.connect()
+    sql = canonical_url_sql("u")
+    for c in cases:
+        got = con.execute(f"SELECT {sql} FROM (SELECT ? AS u)", [c]).fetchone()[0]
+        assert got == py_canonical_url(c), c
+
+
+def test_canonical_url_semantics():
+    from hyperpolyglot_spark.functions.urltools import py_canonical_url as cu
+
+    # authority lowercased, path case preserved
+    assert cu("HTTPS://A.B/Path/Case") == "https://a.b/Path/Case"
+    # default ports dropped, non-default kept
+    assert cu("https://a.b:443/x") == "https://a.b/x"
+    assert cu("https://a.b:8443/x") == "https://a.b:8443/x"
+    # real params survive in order, tracking removed anywhere
+    assert cu("https://a.b/x?p=1&utm_c=2&q=3") == "https://a.b/x?p=1&q=3"
+    # bare root slash kept
+    assert cu("https://a.b/") == "https://a.b/"
