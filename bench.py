@@ -53,6 +53,7 @@ HEADLINE = [
     "doc_token_nb",
     # round-4 operators
     "langid_unresolved",
+    "canonical_url_dedup",
 ]
 
 
