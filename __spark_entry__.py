@@ -1038,6 +1038,54 @@ def _canon_dedup_sql() -> str:
     """
 
 
+def decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram-overlap
+    hygiene stage): an eval set is simulated by lifting a 20-word
+    window (words 11-30) out of every 50th document, then every
+    document sharing a verbatim 8-word n-gram with that set is flagged
+    with its distinct-overlap count. Corpus side: codegen'd int-seq
+    explode + slice/array_join; benchmark grams broadcast — no
+    corpus-sized shuffle (operators/decontaminate.py)."""
+    from hyperpolyglot_spark.operators.decontaminate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.array_join(
+            F.expr(r"slice(split(trim(text), '\\s+'), 11, 20)"), " "
+        ).alias("text")
+    )
+    return decontaminate(docs, bench, n=8)
+
+
+_DECON_GRAMS = (
+    "(CASE WHEN len({w}) >= 8 THEN list_distinct("
+    "[array_to_string(({w})[i:i+7], ' ') for i in range(1, len({w}) - 6)]) "
+    "ELSE []::VARCHAR[] END)"
+)
+
+
+def _decontaminate_sql() -> str:
+    words = (
+        "list_filter(string_split_regex(trim(text), '[ \\t\\n\\r]+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, {words} AS w FROM documents),
+        bg AS (
+          SELECT DISTINCT g FROM (
+            SELECT unnest({_DECON_GRAMS.format(w='(w[11:30])')}) AS g
+            FROM w WHERE doc_id % 50 = 0)),
+        dg AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest({_DECON_GRAMS.format(w='w')}) AS g
+            FROM w))
+        SELECT doc_id, count(*)::BIGINT AS n_hits
+        FROM dg JOIN bg USING (g)
+        GROUP BY doc_id
+    """
+
+
 # ======================================================================
 # embeddings: similarity search
 # ======================================================================
@@ -1123,7 +1171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
-        "top_suppliers": top_suppliers,
         "orders_with_heavy_items": orders_with_heavy_items,
         "top2_orders_per_customer": top2_orders_per_customer,
         "revenue_pct_by_returnflag": revenue_pct_by_returnflag,
@@ -1164,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_predict_documents": langid_predict_documents,
         "langid_unresolved": langid_unresolved,
         "canonical_url_dedup": canonical_url_dedup,
+        "decontaminate_documents": decontaminate_documents,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
         "embedding_label_centroids": embedding_label_centroids,
@@ -1172,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_blocked": embedding_knn_blocked,
         # --- demoted long-green entries (past the driver's 50-entry
         # window; still oracled in-repo every pytest run) ---
+        "top_suppliers": top_suppliers,
         "customers_without_orders": customers_without_orders,
         "rollup_order_priority": rollup_order_priority,
         "distinct_types_per_brand": distinct_types_per_brand,
@@ -1784,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/data/expected_sf0.01/langid_unresolved.parquet')
         """,
         "canonical_url_dedup": _canon_dedup_sql(),
+        "decontaminate_documents": _decontaminate_sql(),
         "embedding_ann_ivf": """
             SELECT vec_id, round(cosine_raw, 6) AS cosine
             FROM read_parquet('/root/repo/data/expected_sf0.01/embedding_ann_ivf.parquet')

@@ -580,3 +580,53 @@ def test_media_features_real_png(spark):
         want = np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])
         got = np.array(out[i]["features"][:6])
         assert np.allclose(got, want, atol=1e-4), i
+
+
+# --- decontamination (round 4) --------------------------------------------
+def test_decontaminate_known_overlap(spark):
+    """Docs sharing a verbatim 8-gram with the benchmark are flagged
+    with the DISTINCT overlap count; clean docs are absent."""
+    from hyperpolyglot_spark.operators.decontaminate import (
+        decontaminate,
+        py_word_ngrams,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words then " + leak + " and a long tail of filler text here"),
+            (2, "totally unrelated content about markets and weather patterns today ok fine"),
+            (3, leak + " " + leak),  # repeated leak: still distinct grams only
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(leak,)], "text string")
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(docs, bench, n=8).collect()}
+    expected_grams = py_word_ngrams(leak, 8)
+    assert set(got) == {1, 3}
+    assert got[1] == len(expected_grams)  # full window present
+    assert got[3] == len(py_word_ngrams(leak + " " + leak, 8) & expected_grams)
+
+
+def test_doc_word_ngrams_matches_py_spec(spark):
+    from hyperpolyglot_spark.operators.decontaminate import (
+        doc_word_ngrams,
+        py_word_ngrams,
+    )
+
+    texts = [
+        "one two three four five six seven eight nine ten",
+        "exactly eight words are present in this one!",
+        "fewer than eight words here",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = doc_word_ngrams(df, n=8).collect()
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add(r["gram"])
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == py_word_ngrams(t, 8), t
