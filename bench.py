@@ -54,6 +54,7 @@ HEADLINE = [
     # round-4 operators
     "langid_unresolved",
     "canonical_url_dedup",
+    "decontaminate_documents",
 ]
 
 
