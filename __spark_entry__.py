@@ -968,18 +968,22 @@ def langid_unresolved(spark, sf_dir):
     )
 
 
-# messy-URL variants for canonical_url_dedup: five renderings of the
-# same logical page (host-casing, default port, tracking params,
-# fragment, trailing/duplicate slashes) — shared between the Spark
-# builder and the DuckDB oracle so the two sides construct identical
-# input. (prefix, midfix, suffix); url = prefix || h || midfix || g
-# || suffix with h = (doc_id/5)%7, g = doc_id/5 (integer division).
+# messy-URL variants for canonical_url_dedup: five renderings across
+# TWO logical pages — variants 0/1/2 are the bare page (host-casing,
+# default port, tracking-only params, fragment, trailing/duplicate
+# slashes) and variants 3/4 are the ?page=2 form rendered with a
+# tracking param BEFORE vs AFTER the real param (the delimiter-repair
+# bug class: '?utm_…&page=2' must canonicalize to '?page=2', never
+# '&page=2'). Shared between the Spark builder and the DuckDB oracle
+# so the two sides construct identical input. (prefix, midfix,
+# suffix); url = prefix || h || midfix || g || suffix with
+# h = (doc_id/5)%7, g = doc_id/5 (integer division).
 _URL_VARIANTS = (
     ("HTTPS://WWW.EXAMPLE", ".COM:443/articles//", "/?utm_source=feed&ref=rss#top"),
-    ("https://www.example", ".com/articles/", "?ref=rss"),
     ("https://www.example", ".com:443/articles/", "/"),
     ("https://www.example", ".com/articles/", "#section-2"),
-    ("https://www.example", ".com/articles/", "?fbclid=abc123"),
+    ("https://www.example", ".com/articles/", "?utm_medium=email&page=2"),
+    ("https://www.example", ".com/articles/", "?page=2&fbclid=abc123"),
 )
 
 

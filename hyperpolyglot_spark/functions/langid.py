@@ -328,8 +328,13 @@ def _known_letter_re():
 
 def known_script_ratio(text: str) -> tuple[int, float]:
     """(n_letters, fraction of them inside known-script ranges).
-    Mask fast path (quality.char_mask — one utf-32 decode, two
-    gathers); regex/isalpha fallback keeps identical semantics."""
+    Both numerator and denominator count LETTERS only (class mask
+    intersected with isalpha): the script ranges contain non-alphabetic
+    codepoints (×/÷ in Latin-1, Hebrew niqqud, Greek punctuation), so a
+    raw class count can exceed n_alpha and inflate the ratio for
+    mark-heavy docs, weakening the unknown-script gate. Mask fast path
+    (quality.char_mask — one utf-32 decode, two gathers); regex/isalpha
+    fallback keeps identical semantics."""
     from .quality import alpha_mask, char_mask, text_codes
 
     codes = text_codes(text)
@@ -337,11 +342,14 @@ def known_script_ratio(text: str) -> tuple[int, float]:
         n_alpha = sum(c.isalpha() for c in text)
         if not n_alpha:
             return 0, 1.0
-        return n_alpha, len(_known_letter_re().findall(text)) / n_alpha
-    n_alpha = int(alpha_mask()[codes].sum())
+        known = sum(c.isalpha() for c in _known_letter_re().findall(text))
+        return n_alpha, known / n_alpha
+    alpha = alpha_mask()[codes]
+    n_alpha = int(alpha.sum())
     if not n_alpha:
         return 0, 1.0
-    return n_alpha, int(char_mask(_known_letter_re())[codes].sum()) / n_alpha
+    known = char_mask(_known_letter_re())[codes]
+    return n_alpha, int((known & alpha).sum()) / n_alpha
 
 
 def classify_or_none_py(
@@ -370,12 +378,19 @@ def classify_or_none_py(
 
         info = LANG_INFO.get(lang)
         if info is not None:
+            # same letters-only counting as known_script_ratio: the
+            # script classes include non-alphabetic codepoints, and
+            # the denominator n_alpha counts letters
             rx = _script_re(info["script"])
             codes = text_codes(text)
             if codes is None:
-                hits = len(rx.findall(text))
+                hits = sum(c.isalpha() for c in rx.findall(text))
             else:
-                hits = int(char_mask(rx)[codes].sum())
+                from .quality import alpha_mask
+
+                hits = int(
+                    (char_mask(rx)[codes] & alpha_mask()[codes]).sum()
+                )
             if hits / n_alpha < PRED_SCRIPT_MIN_RATIO:
                 return None
     return lang

@@ -59,6 +59,8 @@ LETTER_RANGES = (
     "぀-ヿ"  # hiragana + katakana
     "一-鿿"  # cjk unified ideographs
     "가-힯"  # hangul syllables
+    "ᄀ-ᇿ"  # hangul conjoining jamo (decomposed korean)
+    "㄰-㆏"  # hangul compatibility jamo
 )
 # Chars that count as "symbols": not alnum, not whitespace, and not a
 # letter of any known script.

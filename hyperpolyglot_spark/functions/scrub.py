@@ -46,7 +46,20 @@ SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
     # international/NANP parenthesized area code: (212) 555-0143,
     # (020) 7946 0958
     ("phone_paren", r"\(\d{2,4}\)[ .-]?\d{3,4}[ .-]\d{3,4}\b", "<PHONE>"),
-    ("ipv6", r"\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\b", "<IP6>"),
+    # ipv6: full/partial form, then the common :: compressions —
+    # 'a::b'/'2001:db8::1'/'fe80::8a2e:370:7334', trailing 'fe80::',
+    # leading '::1'. \b placement: a trailing '::' ends at a non-word
+    # char (no \b possible there), and a LEADING '::' cannot take \b
+    # either, hence the separate un-anchored-left branch; leftmost-
+    # match semantics keep 'a::1' on the hextet-leading branch.
+    (
+        "ipv6",
+        r"\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\b"
+        r"|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:"
+        r"(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}\b)?"
+        r"|::[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,6}\b",
+        "<IP6>",
+    ),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     # street-address shape: house number + capitalized street name +
     # suffix word
@@ -97,8 +110,9 @@ _THREAT_STEMS = ("frag", "airlock", "vape")
 # a lexicon stem, and substitution can never join adjacent characters
 # into a new match ('<'/'>' break \b-delimited stems and separators):
 #   card/ssn/phone/phone_paren/ipv4 -> a 4+ digit run with <=1 [ .-]
-#   separator between digits; iban -> [A-Z]{2}\d{2}; ipv6 -> >=4 ':';
-#   address -> any digit; toxicity classes -> a stem substring.
+#   separator between digits; iban -> [A-Z]{2}\d{2}; ipv6 -> >=4 ':'
+#   or a '::' (compressed forms); address -> any digit; toxicity
+#   classes -> a stem substring.
 _DIGIT_RUN_RE = re.compile(r"\d(?:[ .\-]?\d){3}")
 _IBAN_HINT_RE = re.compile(r"[A-Z]{2}\d\d")
 _ANY_DIGIT_RE = re.compile(r"\d")
@@ -150,7 +164,9 @@ def py_scrub(text: str) -> tuple[str, dict[str, int]]:
         elif name == "iban":
             skip = _IBAN_HINT_RE.search(text) is None
         elif name == "ipv6":
-            skip = text.count(":") < 4
+            # exact implication: every branch needs >=4 ':' (full
+            # form) or a '::' (compressed forms)
+            skip = text.count(":") < 4 and "::" not in text
         elif name == "address":
             skip = _ANY_DIGIT_RE.search(text) is None
         else:  # card/ssn/phone/phone_paren/ipv4

@@ -38,8 +38,19 @@ def doc_word_ngrams(
     n: int = DEFAULT_N,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, gram) — one row per distinct word n-gram per document."""
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    """(id, gram) — one row per distinct word n-gram per document.
+
+    Tokenization must match ``py_word_ngrams`` (``text.split()``) and
+    the DuckDB oracle (``list_filter(..., x <> '')``): Spark's
+    ``split`` keeps the empty strings that leading/trailing
+    whitespace produces, and ``F.trim`` strips only ASCII spaces (not
+    tabs/newlines) — so empty tokens are filtered explicitly here or
+    dirty whitespace would shift every n-gram window.  ``F.filter``
+    with a ``!=`` predicate is a catalyst ArrayFilter expression, not
+    an interpreted python lambda — still codegen-friendly."""
+    w = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
     out = (
         df.select(
             F.col(id_col),

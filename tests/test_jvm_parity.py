@@ -238,3 +238,36 @@ def test_round3_rule_contexts_parity(spark):
         spec = detect_lang_py(u, t, m)
         assert got[u] == spec, (u, got[u], spec)
         assert got[u] == (want_lang, "heuristics"), (u, got[u], want_lang)
+
+
+def test_jvm_canonical_url_matches_spec(spark):
+    """canonical_url_col (Spark dialect: $1 group refs, backslash-escaped
+    literals) must agree with the pure-Python spec char-for-char — the
+    DuckDB side has its own parity test in test_spec_functions."""
+    from hyperpolyglot_spark.functions.urltools import (
+        canonical_url_col,
+        py_canonical_url,
+    )
+
+    cases = [
+        "HTTPS://WWW.Site.COM:443/articles//42/?utm_source=feed&ref=rss#top",
+        "https://www.site.com/articles/42?id=7&utm_medium=email&x=1",
+        "http://host.org:80/a//b///c/",
+        "https://a.com/p?utm_a=1&b=2",
+        "https://a.com/p?utm_a=1&utm_b=2&c=3",
+        "https://a.com/p?utm_a=1&utm_b=2",
+        "https://a.com/p?next=https://b//x",
+        "https://a.com/p?q=a/",
+        "https://a.com//p//q/?r=1",
+        "https://a.com/p&b=2",
+        "https://www.site.com/",
+        "https://www.site.com",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["canon"]
+        for r in df.withColumn("canon", canonical_url_col("url")).collect()
+    }
+    for u in cases:
+        assert got[u] == py_canonical_url(u), (u, got[u], py_canonical_url(u))

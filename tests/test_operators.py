@@ -620,6 +620,11 @@ def test_doc_word_ngrams_matches_py_spec(spark):
         "exactly eight words are present in this one!",
         "fewer than eight words here",
         "",
+        # dirty whitespace: leading/trailing tabs+newlines must not
+        # produce empty tokens that shift the n-gram windows (F.trim
+        # strips only ASCII spaces; split keeps boundary empties)
+        "\t alpha beta gamma delta epsilon zeta eta theta iota \n",
+        "\n\nkappa\tlambda  mu\r\nnu xi omicron pi rho sigma\t\t",
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

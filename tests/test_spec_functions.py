@@ -269,6 +269,15 @@ def test_scrub_broadened_patterns():
     assert "<PHONE>" in s and c["phone_paren"] == 1
     s, c = py_scrub("node 2001:0db8:85a3:0000:8a2e:0370:7334 down")
     assert "<IP6>" in s and c["ipv6"] == 1 and c["ipv4"] == 0
+    # compressed :: forms (the overwhelmingly common rendering)
+    s, c = py_scrub("hosts 2001:db8::1 and fe80::8a2e:370:7334 up")
+    assert s == "hosts <IP6> and <IP6> up" and c["ipv6"] == 2
+    s, c = py_scrub("loopback ::1 pings; prefix 2001:db8:: reserved")
+    assert s == "loopback <IP6> pings; prefix <IP6> reserved"
+    assert c["ipv6"] == 2
+    # c++ scope operators / short non-hex words don't trip it
+    s, c = py_scrub("call std::sort or boost::asio now")
+    assert c["ipv6"] == 0 and "<IP6>" not in s
     s, c = py_scrub("ship to 742 Evergreen Terrace and 12 Baker Street")
     assert s.count("<ADDR>") == 2 and c["address"] == 2
     s, c = py_scrub("that Clanker and its meatbags, I will airlock you")
@@ -329,6 +338,19 @@ def test_canonical_url_py_vs_duckdb():
         "https://www.site.com/",
         "https://www.site.com",
         "",
+        # leading tracking param followed by a real param (the
+        # delimiter-consumption bug class)
+        "https://a.com/p?utm_a=1&b=2",
+        "https://a.com/p?utm_a=1&utm_b=2&c=3",
+        "https://a.com/p?utm_a=1&utm_b=2",
+        # query content is opaque: embedded urls / trailing slash in a
+        # value must survive; slashes collapse in the PATH only
+        "https://a.com/p?next=https://b//x",
+        "https://a.com/p?next=https:/b/x",
+        "https://a.com/p?q=a/",
+        "https://a.com//p//q/?r=1",
+        # literal '&' in a path must NOT merge with a query form
+        "https://a.com/p&b=2",
     ]
     con = duckdb.connect()
     sql = canonical_url_sql("u")
@@ -349,3 +371,13 @@ def test_canonical_url_semantics():
     assert cu("https://a.b/x?p=1&utm_c=2&q=3") == "https://a.b/x?p=1&q=3"
     # bare root slash kept
     assert cu("https://a.b/") == "https://a.b/"
+    # LEADING tracking param: the next real param takes over the '?'
+    assert cu("https://a.b/p?utm_a=1&b=2") == "https://a.b/p?b=2"
+    assert cu("https://a.b/p?utm_a=1&utm_b=2&c=3") == "https://a.b/p?c=3"
+    assert cu("https://a.b/p?utm_a=1&utm_b=2") == "https://a.b/p"
+    # ...and a literal '&' path stays distinct from the query form
+    assert cu("https://a.b/p&b=2") == "https://a.b/p&b=2"
+    # slash handling is PATH-only: query values keep their slashes
+    assert cu("https://a.b/p?next=https://c//x") == "https://a.b/p?next=https://c//x"
+    assert cu("https://a.b/p?q=a/") == "https://a.b/p?q=a/"
+    assert cu("https://a.b//p//q/?r=1") == "https://a.b/p/q?r=1"

@@ -147,3 +147,30 @@ def test_pipeline_label_unresolved():
     assert row["lang_pred"] is None
     assert row["strategy"] == "unresolved"
     assert row["perplexity"] is None
+
+
+def test_known_script_ratio_letters_only():
+    """Numerator counts LETTERS inside the known ranges only: the
+    script classes contain non-alphabetic codepoints (Hebrew niqqud,
+    Latin-1 ×/÷), so a raw class count can exceed n_alpha. The ratio
+    must be in [0,1] and mark-heavy docs must not be inflated."""
+    from hyperpolyglot_spark.functions.langid import known_script_ratio
+
+    # hebrew with heavy niqqud (U+05B0-05BC are marks, not letters —
+    # inside the hebrew range but not isalpha)
+    marked = "שָׁלוֹם עוֹלָם טוֹב" * 5
+    n_alpha, ratio = known_script_ratio(marked)
+    assert 0.0 <= ratio <= 1.0
+    assert n_alpha == sum(c.isalpha() for c in marked)
+    # pure math symbols inside the latin-1 range: × ÷ are NOT letters
+    # — they contribute to neither side
+    n2, r2 = known_script_ratio("× ÷ × ÷ abcdefghij")
+    assert n2 == 10 and r2 == 1.0
+    # decomposed korean (conjoining jamo, U+1100-11FF) counts as a
+    # known script now
+    import unicodedata
+
+    jamo = unicodedata.normalize("NFD", "\ud55c\uad6d\uc5b4 \ud14d\uc2a4\ud2b8 ") * 10
+    assert any(0x1100 <= ord(c) <= 0x11FF for c in jamo)
+    n3, r3 = known_script_ratio(jamo)
+    assert n3 > 0 and r3 == 1.0
