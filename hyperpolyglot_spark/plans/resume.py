@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.quality import RULES_WITH_PPL
-from .pipeline import run_pipeline
+from .pipeline import DEFAULT_UNRESOLVED_POLICY, run_pipeline
 
 MANIFEST_DIR = "_manifest"
 LABELS_DIR = "labels"
@@ -37,6 +37,12 @@ LABELS_DIR = "labels"
 # dropped-by-rule manifest columns, one per ladder rule (north rule:
 # metrics rows carry docs seen, kept, DROPPED-BY-RULE, scrub counts)
 _DROP_COLS = tuple(f"drop_{rule_id}" for rule_id, _, _, _ in RULES_WITH_PPL)
+# unresolved-language stratum audit columns (explicit policy, r5)
+_UNRESOLVED_COLS = (
+    "unresolved_kept",
+    "unresolved_quarantined",
+    "unresolved_dropped",
+)
 
 
 def bucket_col(url_col: str = "url", n_buckets: int = 32):
@@ -75,10 +81,17 @@ def run_with_resume(
     group_size: int = 8,
     max_groups: int | None = None,
     model=None,
+    unresolved_policy: str = DEFAULT_UNRESOLVED_POLICY,
 ) -> int:
     """Run the pipeline bucket-group by bucket-group, committing a
     manifest row per completed bucket. Returns #groups processed this
-    invocation. ``max_groups`` exists so tests can simulate a kill."""
+    invocation. ``max_groups`` exists so tests can simulate a kill.
+
+    ``unresolved_policy`` routes the NULL-lang stratum (see the policy
+    note in plans/pipeline.py); the lineage manifest carries the
+    stratum's disposition per bucket (unresolved_kept /
+    unresolved_quarantined / unresolved_dropped) so a 10^12-doc run
+    can audit what the policy did without re-scanning the labels."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     done = completed_buckets(spark, out_dir)
     todo = [b for b in range(n_buckets) if b not in done]
@@ -94,7 +107,12 @@ def run_with_resume(
     for group in groups:
         src = pages.withColumn("bucket", bucket_col(n_buckets=n_buckets))
         src = src.filter(F.col("bucket").isin(group))
-        labels = run_pipeline(spark, src.drop("bucket"), model=model)
+        labels = run_pipeline(
+            spark,
+            src.drop("bucket"),
+            model=model,
+            unresolved_policy=unresolved_policy,
+        )
         labels = labels.withColumn("bucket", bucket_col(n_buckets=n_buckets))
         # idempotent per-partition write: dynamic overwrite replaces
         # exactly the bucket= dirs this group touches
@@ -128,6 +146,18 @@ def run_with_resume(
                         ).alias(f"drop_{rule_id}")
                         for rule_id, _, _, _ in RULES_WITH_PPL
                     ),
+                    # unresolved-stratum disposition (audit columns for
+                    # the explicit policy; older outputs without the
+                    # disposition column fall back to keep/lang_pred)
+                    *(
+                        F.sum(
+                            (
+                                F.col("lang_pred").isNull()
+                                & (F.col("disposition") == d)
+                            ).cast("long")
+                        ).alias(f"unresolved_{d}")
+                        for d in ("kept", "quarantined", "dropped")
+                    ),
                 )
             )
             lineage = group_df.join(agg, "bucket", "left")
@@ -138,11 +168,19 @@ def run_with_resume(
                     F.lit(None).cast("long").alias(c)
                     for c in ("docs", "kept", "scrub_email", "scrub_toxicity")
                     + _DROP_COLS
+                    + _UNRESOLVED_COLS
                 ),
             )
         lineage = lineage.na.fill(
             0,
-            ["docs", "kept", "scrub_email", "scrub_toxicity", *_DROP_COLS],
+            [
+                "docs",
+                "kept",
+                "scrub_email",
+                "scrub_toxicity",
+                *_DROP_COLS,
+                *_UNRESOLVED_COLS,
+            ],
         )
         lineage.write.mode("append").parquet(manifest_path)
     return len(groups)

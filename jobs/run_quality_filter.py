@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="generate N synthetic pages instead of --input")
     p.add_argument("--cores", type=int, default=None,
                    help="local[N] cores; omit on a real cluster")
+    p.add_argument("--unresolved-policy", default=None,
+                   choices=["keep", "drop", "quarantine"],
+                   help="disposition of docs the language classifier "
+                        "declines (default: quarantine — labels keep "
+                        "them, disposition column routes them out of "
+                        "the training mix; see plans/pipeline.py)")
     args = p.parse_args(argv)
 
     from hyperpolyglot_spark.session import get_spark
@@ -55,12 +61,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         p.error("need --input or --synthesize")
 
+    from hyperpolyglot_spark.plans.pipeline import DEFAULT_UNRESOLVED_POLICY
+
     groups = run_with_resume(
         spark,
         pages,
         args.output,
         n_buckets=args.n_buckets,
         group_size=args.group_size,
+        unresolved_policy=args.unresolved_policy or DEFAULT_UNRESOLVED_POLICY,
     )
     print(f"completed {groups} bucket group(s); output at {args.output}")
 

@@ -174,3 +174,163 @@ def test_known_script_ratio_letters_only():
     assert any(0x1100 <= ord(c) <= 0x11FF for c in jamo)
     n3, r3 = known_script_ratio(jamo)
     assert n3 > 0 and r3 == 1.0
+
+
+# ----------------------------------------------------------------------
+# unresolved-stratum keep policy (round 5): the NULL-lang stratum
+# bypasses the perplexity rule by construction (no lang -> no LM), so
+# its disposition is an explicit policy, not a fall-through.
+# ----------------------------------------------------------------------
+
+def _policy_pages(spark):
+    from hyperpolyglot_spark.datagen.pages import gen_pages_pdf
+
+    pdf = gen_pages_pdf(80)
+    # splice in unknown-script pages long enough to pass every cheap
+    # rule — the stratum whose disposition the policy decides
+    ts = pdf["warc_ts"].iloc[0].to_pydatetime()
+    extra = []
+    # kept-but-unresolved stratum: alien-Latin vocabulary (NB noise
+    # gate) salted with stopwords of MANY languages so the quality
+    # ladder passes (stop_density >= 0.05, rep3 low via digit
+    # variation) while no single language wins the margin — the exact
+    # least-evidence class whose disposition the policy decides
+    alien = ALIEN_LATIN[0][1].split()
+    stops = (
+        "the der le el og en und los dans mit por och het dla ve bir "
+        "na av til"
+    ).split()
+    for d in range(5):
+        words = []
+        for i in range(120):
+            words.append(alien[(i + d) % len(alien)] + str((i + d) % 7))
+            if i % 4 == 0:
+                words.append(stops[(i + d) % len(stops)])
+        body = " ".join(words)
+        extra.append(
+            (
+                f"https://unknown.example/alien/{d}",
+                ts,
+                f"<html><body><p>{body}</p></body></html>".encode(),
+            )
+        )
+    # plus unknown-script pages (dropped-unresolved class: repetition)
+    for i, (name, text) in enumerate(UNKNOWN_SCRIPT[:2]):
+        body = (text + " ") * 30
+        extra.append(
+            (
+                f"https://unknown.example/{name}/{i}",
+                ts,
+                f"<html><body><p>{body}</p></body></html>".encode(),
+            )
+        )
+    pages = spark.createDataFrame(pdf[["url", "warc_ts", "html"]])
+    return pages.unionByName(
+        spark.createDataFrame(
+            extra, "url string, warc_ts timestamp, html binary"
+        )
+    )
+
+
+@pytest.mark.parametrize("policy", ["keep", "drop", "quarantine"])
+def test_pipeline_policy_matches_py_spec(spark, policy):
+    """run_pipeline under each policy matches py_label_page row-for-row
+    (keep, drop_rule) and the disposition column matches
+    py_disposition."""
+    from hyperpolyglot_spark.plans.pipeline import (
+        py_disposition,
+        py_label_page,
+        run_pipeline,
+    )
+
+    pages = _policy_pages(spark)
+    rows = {
+        r["url"]: r.asDict()
+        for r in run_pipeline(
+            spark, pages, unresolved_policy=policy
+        ).collect()
+    }
+    src = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    n_unres = 0
+    for url, html in src.items():
+        o = py_label_page(url, html, unresolved_policy=policy)
+        s = rows[url]
+        assert (s["keep"], s["drop_rule"]) == (o["keep"], o["drop_rule"]), (
+            policy, url, s["drop_rule"], o["drop_rule"],
+        )
+        assert s["disposition"] == py_disposition(
+            o["keep"], o["lang_pred"], policy
+        ), (policy, url)
+        if o["lang_pred"] is None:
+            n_unres += 1
+            # the bypass: unresolved docs are never LM-scored
+            assert s["perplexity"] is None
+    assert n_unres >= 4  # the spliced stratum actually exercised
+
+
+def test_policy_semantics(spark):
+    """keep vs quarantine: identical labels, routing differs only for
+    kept NULL-lang rows. drop: exactly those rows flip to
+    (False, 'unresolved_lang'); everything else identical."""
+    from hyperpolyglot_spark.plans.pipeline import (
+        UNRESOLVED_DROP_RULE,
+        run_pipeline,
+    )
+
+    pages = _policy_pages(spark)
+    got = {}
+    for policy in ("keep", "drop", "quarantine"):
+        got[policy] = {
+            r["url"]: r.asDict()
+            for r in run_pipeline(
+                spark, pages, unresolved_policy=policy
+            ).collect()
+        }
+    quarantined = 0
+    for url, k in got["keep"].items():
+        q, d = got["quarantine"][url], got["drop"][url]
+        assert (k["keep"], k["drop_rule"]) == (q["keep"], q["drop_rule"])
+        if k["keep"] and k["lang_pred"] is None:
+            quarantined += 1
+            assert k["disposition"] == "kept"
+            assert q["disposition"] == "quarantined"
+            assert d["keep"] is False
+            assert d["drop_rule"] == UNRESOLVED_DROP_RULE
+            assert d["disposition"] == "dropped"
+        else:
+            assert (d["keep"], d["drop_rule"]) == (k["keep"], k["drop_rule"])
+            assert d["disposition"] == k["disposition"] == q["disposition"]
+    assert quarantined >= 4
+
+
+def test_manifest_reports_unresolved_strata(spark, tmp_path):
+    """The lineage manifest carries the stratum's disposition per
+    bucket: quarantine -> unresolved_quarantined>0, unresolved_kept==0;
+    drop -> unresolved_dropped counts it instead."""
+    from hyperpolyglot_spark.plans.resume import run_with_resume
+
+    pages = _policy_pages(spark)
+    for policy, col in (
+        ("quarantine", "unresolved_quarantined"),
+        ("drop", "unresolved_dropped"),
+    ):
+        out = str(tmp_path / policy)
+        run_with_resume(
+            spark, pages, out, n_buckets=4, group_size=4,
+            unresolved_policy=policy,
+        )
+        m = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{out}/_manifest")
+            .groupBy()
+            .sum("unresolved_kept", "unresolved_quarantined",
+                 "unresolved_dropped")
+            .collect()[0]
+        )
+        sums = {
+            "unresolved_kept": m[0],
+            "unresolved_quarantined": m[1],
+            "unresolved_dropped": m[2],
+        }
+        assert sums[col] >= 4, (policy, sums)
+        assert sums["unresolved_kept"] == 0, (policy, sums)

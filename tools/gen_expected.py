@@ -106,6 +106,64 @@ def expected_langid_unresolved() -> pd.DataFrame:
     ).astype({"doc_id": "int64"})
 
 
+def expected_unresolved_disposition() -> pd.DataFrame:
+    """Pure-python spec of the unresolved-policy query: classify with
+    the gate, keep/drop ladder (no url -> vendor rule can't fire),
+    perplexity rule with per-language thresholds (NULL lang -> no LM ->
+    unscored, the documented bypass), then the disposition under the
+    default quarantine policy and under the drop policy."""
+    from hyperpolyglot_spark.datagen.unknown import fixture_rows
+    from hyperpolyglot_spark.functions.langid import (
+        classify_or_none_py,
+        default_hashed_model,
+        training_corpus,
+    )
+    from hyperpolyglot_spark.functions.perplexity import (
+        default_ppl_model,
+        perplexity_py,
+        ppl_thresholds_for,
+    )
+    from hyperpolyglot_spark.functions.quality import MAX_PPL, py_keep_drop
+    from hyperpolyglot_spark.plans.pipeline import py_disposition
+
+    model = default_hashed_model()
+    pm = default_ppl_model()
+    thr = ppl_thresholds_for(pm)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE doc_id < 100 ORDER BY doc_id"
+    ).fetchall()
+    rows = (
+        list(rows)
+        + [(i, t) for i, _, t in fixture_rows()]
+        + [(20_000 + i, t) for i, (_, t) in enumerate(training_corpus()[:30])]
+    )
+    out = []
+    for doc_id, text in rows:
+        pred = classify_or_none_py(text, [], model)
+        keep, rule = py_keep_drop(text, "")
+        ppl = None
+        if keep:
+            ppl = perplexity_py(text, pred, pm) if pred is not None else None
+            if ppl is not None and ppl > thr.get(pred, MAX_PPL):
+                keep, rule = False, "perplexity"
+        disp_q = py_disposition(keep, pred, "quarantine")
+        disp_d = "dropped" if (not keep or pred is None) else "kept"
+        out.append((doc_id, pred, keep, rule, ppl is not None, disp_q, disp_d))
+    return pd.DataFrame(
+        out,
+        columns=[
+            "doc_id",
+            "lang_pred",
+            "keep",
+            "drop_rule",
+            "ppl_scored",
+            "disposition",
+            "disposition_if_drop",
+        ],
+    ).astype({"doc_id": "int64"})
+
+
 def expected_ivf_topk() -> pd.DataFrame:
     """numpy replication of ivf_centroids (seeds = 8 lowest ids, one
     refinement pass) + 4-cell probe + exact top-10 within the probed
@@ -257,6 +315,7 @@ def main():
         "neardup_simhash_pairs": expected_simhash_pairs(),
         "langid_predict_documents": expected_langid_predictions(),
         "langid_unresolved": expected_langid_unresolved(),
+        "unresolved_disposition": expected_unresolved_disposition(),
         "embedding_ann_ivf": expected_ivf_topk(),
         "embedding_knn_blocked": expected_knn_blocked(),
         "doc_token_nb": expected_token_nb(),
@@ -275,6 +334,9 @@ def main():
         spark, "langid_predict_documents", tables["langid_predict_documents"]
     )
     crosscheck(spark, "langid_unresolved", tables["langid_unresolved"])
+    crosscheck(
+        spark, "unresolved_disposition", tables["unresolved_disposition"]
+    )
     crosscheck(
         spark,
         "embedding_ann_ivf",
