@@ -830,20 +830,19 @@ def per_strategy_report(spark, sf_dir):
     )
 
 
-def hashed_gram_buckets(spark, sf_dir):
-    """Hashed character-n-gram features (north-star): gram -> md5-prefix
-    bucket (JVM built-ins only), per-(lang, bucket) counts + log-probs —
-    the fixed-width fastText-style feature table whose size is bounded
-    by bucket count, not vocabulary. The production classifier scores
-    against exactly this table (functions/langid.py HashedModel)."""
+def _hashed_gram_counts(spark, sf_dir):
+    """Pre-checkpoint subtree of hashed_gram_buckets, exposed so
+    test_plan_quality can assert the two-phase aggregation shape (the
+    checkpoint boundary hides it from the final query's plan).
+
+    Two-phase: count per RAW gram first (partial agg absorbs the
+    volume), md5 only the distinct (lang, gram) groups — ~30x fewer
+    hashes at sf0.1, and at corpus scale distinct grams plateau while
+    doc count grows, so hashing cost per doc goes to zero."""
     from hyperpolyglot_spark.functions.langid import bucket_col, exploded_grams
 
     docs = _t(spark, sf_dir, "documents")
-    # two-phase: count per RAW gram first (partial agg absorbs the
-    # volume), md5 only the distinct (lang, gram) groups — ~30x fewer
-    # hashes at sf0.1, and at corpus scale distinct grams plateau
-    # while doc count grows, so hashing cost per doc goes to zero
-    counted = (
+    return (
         exploded_grams(docs)
         .groupBy("lang", "gram")
         .agg(F.count("*").alias("c1"))
@@ -851,12 +850,29 @@ def hashed_gram_buckets(spark, sf_dir):
         .groupBy("lang", "bucket")
         .agg(F.sum("c1").alias("cnt"))
     )
-    wl = Window.partitionBy("lang")
-    return counted.select(
+
+
+def hashed_gram_buckets(spark, sf_dir):
+    """Hashed character-n-gram features (north-star): gram -> md5-prefix
+    bucket (JVM built-ins only), per-(lang, bucket) counts + log-probs —
+    the fixed-width fastText-style feature table whose size is bounded
+    by bucket count, not vocabulary. The production classifier scores
+    against exactly this table (functions/langid.py HashedModel)."""
+    counted = _hashed_gram_counts(spark, sf_dir)
+    # two consumers (per-lang totals + final projection): materialize
+    # the bounded (langs x 16384) table once, then broadcast-join the
+    # one-row-per-lang totals — the same shape fix as
+    # classifier_training_agg (an unbounded sum-window re-materializes
+    # and sorts every lang partition with parallelism bounded by
+    # #langs; localCheckpoint, NOT persist — a persisted plan cache-
+    # substitutes into other queries sharing the subtree).
+    counted = counted.localCheckpoint(eager=True)
+    totals = counted.groupBy("lang").agg(F.sum("cnt").alias("_total"))
+    return counted.join(F.broadcast(totals), "lang").select(
         "lang",
         F.col("bucket").cast("long").alias("bucket"),
         "cnt",
-        F.round(F.log(F.col("cnt") / F.sum("cnt").over(wl)), 6).alias("logp"),
+        F.round(F.log(F.col("cnt") / F.col("_total")), 6).alias("logp"),
     )
 
 

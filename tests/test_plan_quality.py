@@ -170,16 +170,21 @@ def test_hashed_gram_buckets_hashes_distinct_grams_only(spark):
     never in the projection under it (once per occurrence). At corpus
     scale distinct grams plateau while occurrences grow linearly, so
     the hash cost per document must amortize to zero."""
+    # the checkpoint boundary hides the aggregation subtree from the
+    # final query's plan, so assert it on the exposed pre-checkpoint
+    # builder: two partial/final aggregation PAIRS — (lang, gram) then
+    # (lang, bucket). Expression strings truncate in toString, so the
+    # aggregate structure is the reliable discriminator.
+    pre = plan_of(entry_mod._hashed_gram_counts(spark, SF))
+    assert pre.count("HashAggregate") >= 4
+    assert pre.count("Exchange") <= 2
+    # per-lang totals come from a BROADCAST hash join on the bounded
+    # checkpointed table — never an unbounded-frame sum window (the
+    # classifier_training_agg round-3 regression shape): parallelism
+    # bounded by #langs and a second sort of every lang partition
     plan = plan_of(entry_mod.hashed_gram_buckets(spark, SF))
-    # two partial/final aggregation PAIRS — (lang, gram) then
-    # (lang, bucket). The one-phase md5-per-occurrence plan this
-    # replaced had exactly one pair (2 HashAggregates); expression
-    # strings truncate in toString, so the aggregate structure is the
-    # reliable discriminator.
-    assert plan.count("HashAggregate") >= 4
-    # and exactly two gram-side exchanges (one per aggregation pair) —
-    # the window partial adds its own; no exchange explosion
-    assert plan.count("Exchange") <= 3
+    assert "BroadcastHashJoin" in plan
+    assert "Window [" not in plan
 
 
 def test_classifier_training_agg_plan_shape(spark):
