@@ -1117,3 +1117,56 @@ REAL_TEXT.update({
         "မည်မျှကြာအောင်စောင့်နိုင်သည်ကိုပြသသည်။",
     ),
 })
+
+
+# ----------------------------------------------------------------------
+# short-form stratum (round 5): titles / queries / tweet-length text
+# ----------------------------------------------------------------------
+
+import re as _re
+
+_CLAUSE_SPLIT = _re.compile(r"[,;.!?;、，。]+")
+
+
+def _clauses(p: str) -> list[str]:
+    return [c.strip() for c in _CLAUSE_SPLIT.split(p) if c.strip()]
+
+
+def _accumulate(
+    cs: list[str], start: int, min_w: int, cap_w: int, min_c: int, cap_c: int
+) -> str:
+    """Join clauses from ``start`` until the fragment reaches title
+    length: >= min_w words (spaced scripts) or >= min_c chars
+    (spaceless), then cap at cap_w words / cap_c chars."""
+    buf: list[str] = []
+    for c in cs[start:] + cs[:start]:
+        buf.append(c)
+        j = " ".join(buf)
+        if len(j.split()) >= min_w or (" " not in j and len(j) >= min_c):
+            break
+    j = " ".join(buf)
+    w = j.split()
+    return " ".join(w[:cap_w]) if len(w) >= min_w else j[:cap_c]
+
+
+def short_texts() -> dict[str, tuple[str, str, str]]:
+    """Three 5-15-word (or 8-24-char spaceless) fragments per language,
+    derived DETERMINISTICALLY from the full passages by clause
+    extraction — natural-prose fragments in the right language by
+    construction (the passages are this repo's own original prose).
+
+    This stratum measures the LENGTH envelope of the classifiers —
+    titles, search queries, tweet-length docs, the short-doc mass of a
+    real crawl — separately from the full-passage transfer measurement
+    (real crawls are full of short docs, and the full-length fixture's
+    known misses already concentrated in its shortest passages).
+    Graded lengths: ~12-word lead clause, ~12-word mid-passage clause,
+    ~8-word 'title' fragment."""
+    out = {}
+    for lang, ps in REAL_TEXT.items():
+        out[lang] = (
+            _accumulate(_clauses(ps[0]), 0, 5, 12, 10, 24),
+            _accumulate(_clauses(ps[1]), 1, 5, 12, 10, 24),
+            _accumulate(_clauses(ps[2]), 0, 5, 8, 8, 16),
+        )
+    return out

@@ -166,15 +166,131 @@ def default_model() -> Model:
 
 
 # ----------------------------------------------------------------------
+# script-based candidate narrowing (round 5, short-text robustness)
+# ----------------------------------------------------------------------
+# The open-world terminal used to score ALL 102 languages when the
+# cheap stages produced no candidates; on title-length text the NB has
+# so few grams that a hangul query could lose to 'en' (every gram OOV
+# everywhere, tie-break order wins). The writing system is evidence
+# the cascade already trusts elsewhere (J4 candidate-intersect), so an
+# EMPTY candidate list now narrows to the languages whose script
+# covers >= 50% of the doc's letters before scoring — hangul -> ko,
+# greek -> el, han -> {zh, ja, ...}. Explicit candidates always win
+# (narrowing applies only where there was no evidence at all), the
+# token-NB path is exempt (code files are ASCII — script carries no
+# signal there), and the unresolved gate still keys off the ORIGINAL
+# candidate list. Measured on the realtext short stratum: hashed
+# 0.869 -> 0.889, dict 0.892 -> 0.899; full passages unchanged.
+#
+# Scale shape: one int8 codepoint->script-component lookup (built
+# lazily once per worker) + np.bincount per doc — two gathers, no
+# regex in the hot path.
+
+SCRIPT_NARROW_MIN_LETTERS = 5
+SCRIPT_NARROW_MIN_RATIO = 0.5
+
+# SCRIPT_LETTER_CLASSES entries are pairwise disjoint EXCEPT
+# kanji_kana ⊃ han, so the flat id table stores disjoint components
+# and kanji_kana's coverage is summed from (kana, han).
+_SCRIPT_COMPONENT_RANGES: dict[str, str] = {"kana": "぀-ヿ"}
+_SCRIPT_COMPONENTS: dict[str, tuple[str, ...]] = {}
+_SID_TABLE = None
+_SID_NAMES: list[str] = []
+_SID_RANGES: dict[str, str] = {}
+
+
+def _script_tables():
+    global _SID_TABLE, _SID_NAMES
+    if _SID_TABLE is None:
+        import re as _re
+
+        import numpy as np
+
+        from .langdata import SCRIPT_LETTER_CLASSES
+        from .quality import alpha_mask, char_mask
+
+        ranges = dict(_SCRIPT_COMPONENT_RANGES)
+        for s, cls in SCRIPT_LETTER_CLASSES.items():
+            if s == "kanji_kana":
+                _SCRIPT_COMPONENTS[s] = ("kana", "han")
+                continue
+            ranges[s] = cls
+            _SCRIPT_COMPONENTS[s] = (s,)
+        _SID_RANGES.update(ranges)
+        _SID_NAMES = sorted(ranges)
+        table = np.full(0x110000, -1, dtype=np.int8)
+        alpha = alpha_mask()
+        for i, name in enumerate(_SID_NAMES):
+            m = char_mask(_re.compile("[" + ranges[name] + "]")) & alpha
+            table[m] = i
+        _SID_TABLE = table
+    return _SID_TABLE, _SID_NAMES
+
+
+def script_candidates(text: str) -> list[str]:
+    """Languages whose script covers >= SCRIPT_NARROW_MIN_RATIO of the
+    doc's letters, in LANGUAGES order (tie-break stability). Empty when
+    the doc has < SCRIPT_NARROW_MIN_LETTERS letters or no script
+    qualifies — callers fall back to the full universe."""
+    import numpy as np
+
+    from .langdata import LANG_INFO
+    from .quality import alpha_mask, text_codes
+
+    table, names = _script_tables()
+    codes = text_codes(text)
+    if codes is None:  # lone surrogates: regex fallback, same semantics
+        import re as _re
+
+        letters = [c for c in text if c.isalpha()]
+        n_alpha = len(letters)
+        if n_alpha < SCRIPT_NARROW_MIN_LETTERS:
+            return []
+        counts = {
+            name: sum(
+                1
+                for c in letters
+                if _re.match("[" + _SID_RANGES[name] + "]", c)
+            )
+            for name in names
+        }
+    else:
+        alpha = alpha_mask()[codes]
+        n_alpha = int(alpha.sum())
+        if n_alpha < SCRIPT_NARROW_MIN_LETTERS:
+            return []
+        sid = table[codes]
+        bc = np.bincount(sid[sid >= 0], minlength=len(names))
+        counts = {name: int(bc[i]) for i, name in enumerate(names)}
+    qualified = set()
+    for script, comps in _SCRIPT_COMPONENTS.items():
+        hits = sum(counts.get(c, 0) for c in comps)
+        if hits / n_alpha >= SCRIPT_NARROW_MIN_RATIO:
+            qualified.add(script)
+    if not qualified:
+        return []
+    return [l for l in LANGUAGES if LANG_INFO[l]["script"] in qualified]
+
+
+def _narrowed_cands(text: str, candidates: list[str] | None) -> list[str]:
+    """Shared candidate-defaulting for the char-gram scorers: explicit
+    candidates verbatim; empty -> script narrowing -> full universe."""
+    if candidates:
+        return list(candidates)
+    return script_candidates(text) or list(LANGUAGES)
+
+
+# ----------------------------------------------------------------------
 # scoring
 # ----------------------------------------------------------------------
 
 def classify_py(
     text: str, candidates: list[str] | None, model: Model | None = None
 ) -> str:
-    """Pure-Python spec scorer, exact classifier.rs:18-49 semantics."""
+    """Pure-Python spec scorer, exact classifier.rs:18-49 semantics
+    (plus the documented script narrowing for empty candidates)."""
     model = model or default_model()
-    cands = list(candidates) if candidates else list(LANGUAGES)
+    cands = _narrowed_cands(text, candidates)
     gram_counts = Counter(text_grams(text))
     best_lang, best_score = cands[0], float("-inf")
     first = True
@@ -215,32 +331,62 @@ UNRESOLVED_ABS = -15.0
 
 
 def classify_margin_py(
-    text: str, candidates: list[str] | None, model=None
-) -> tuple[str, float, float]:
-    """(best_lang, margin_per_gram, top1_per_gram) under the same
-    candidate/tie-break semantics as classify_any. A single candidate
-    or an empty feature set returns margin 0.0 / top1 -inf only when
-    there is genuinely no evidence; a singleton candidate list is
-    'resolved elsewhere' and reports +inf margin (never gated)."""
-    cands = list(candidates) if candidates else list(LANGUAGES)
-    if len(cands) == 1:
-        return cands[0], float("inf"), 0.0
+    text: str,
+    candidates: list[str] | None,
+    model=None,
+    with_gate_winner: bool = False,
+):
+    """(best_lang, margin_per_gram, top1_per_gram) — plus the
+    gate-set winner as a 4th element when ``with_gate_winner``.
+
+    best_lang follows classify_any's candidate/tie-break semantics —
+    including script narrowing for empty candidate lists. The GATE
+    statistics (margin, top1, gate winner) are always computed over
+    the ORIGINAL candidate set (the full universe when empty): the
+    noise-gate constants below were calibrated on full-universe
+    margins, and a narrowed set mechanically inflates margins
+    (dropping 40 languages from scoring widens top1-top2 even on pure
+    noise — the alien-Latin fixture caught exactly this). The gate
+    WINNER matters too: on OOV noise the full-universe argmax is the
+    widest-bucket-coverage attractor (zh/ja), whose script
+    incoherence with the document is itself a noise signal the
+    unresolved gate checks — the narrowed winner is coherent by
+    construction and carries no such signal. One matvec either way:
+    winner and gate read different rows of the same score vector.
+
+    A singleton EXPLICIT candidate list is 'resolved elsewhere' and
+    reports +inf margin (never gated); an empty feature set returns
+    margin 0.0 / top1 -inf only when there is genuinely no evidence."""
+
+    def out(lang, margin, top1, gate_lang):
+        if with_gate_winner:
+            return lang, margin, top1, gate_lang
+        return lang, margin, top1
+
+    if candidates and len(candidates) == 1:
+        return out(candidates[0], float("inf"), 0.0, candidates[0])
+    cands = _narrowed_cands(text, candidates)  # winner set
+    gate_cands = list(candidates) if candidates else list(LANGUAGES)
     if model is None:
         model = default_hashed_model()
     if isinstance(model, TokenModel) or (
         model and isinstance(next(iter(model.values()), None), dict)
     ):
-        # dict-shaped scorers (char-gram dict NB / token NB): one pass,
-        # track top-2 with the same strict-> earlier-candidate order
+        # dict-shaped scorers (char-gram dict NB / token NB): one pass
+        # over the gate set tracking top-2, plus the best within the
+        # (sub)set of winner candidates — same strict-> earlier-
+        # candidate order in both
         if isinstance(model, TokenModel):
             feats = Counter(text_tokens(text))
         else:
             feats = Counter(text_grams(text))
         n = sum(feats.values())
+        narrow = set(cands)
         best, second = float("-inf"), float("-inf")
-        best_lang = cands[0]
-        first = True
-        for lang in cands:
+        best_lang, gate_lang = cands[0], gate_cands[0]
+        nbest = float("-inf")
+        nfirst = True
+        for lang in gate_cands:
             lp = model.get(lang)
             if lp is None:
                 score = float("-inf")
@@ -248,25 +394,27 @@ def classify_margin_py(
                 score = sum(
                     c * lp.get(f, DEFAULT_LOG_PROB) for f, c in feats.items()
                 )
-            if first or score > best:
+            if score > best:
                 second = best
-                best, best_lang, first = score, lang, False
+                best, gate_lang = score, lang
             elif score > second:
                 second = score
+            if lang in narrow and (nfirst or score > nbest):
+                nbest, best_lang, nfirst = score, lang, False
         if not n or best == float("-inf"):
-            return best_lang, 0.0, float("-inf")
+            return out(best_lang, 0.0, float("-inf"), gate_lang)
         if second == float("-inf"):
-            return best_lang, float("inf"), best / n
-        return best_lang, (best - second) / n, best / n
-    # hashed model: vectorized top-2 over the candidate rows
+            return out(best_lang, float("inf"), best / n, gate_lang)
+        return out(best_lang, (best - second) / n, best / n, gate_lang)
+    # hashed model: vectorized — winner from the narrowed rows, top-2
+    # and gate winner from the gate rows, one matvec
     if not model:
-        return cands[0], 0.0, float("-inf")
+        return out(cands[0], 0.0, float("-inf"), gate_cands[0])
     packed = _packed_grams(text)
     if packed is None:
-        for lang in cands:
-            if lang in model:
-                return lang, 0.0, float("-inf")
-        return cands[0], 0.0, float("-inf")
+        lang = next((l for l in cands if l in model), cands[0])
+        glang = next((l for l in gate_cands if l in model), gate_cands[0])
+        return out(lang, 0.0, float("-inf"), glang)
     uk, cnts = packed
     idx = _keys_to_buckets(uk)
     mt, lidx = _hashed_matrix(model)
@@ -274,14 +422,21 @@ def classify_margin_py(
     rows = np.array([lidx.get(l, -1) for l in cands], dtype=np.int64)
     scores = np.where(rows >= 0, all_scores[np.maximum(rows, 0)], -np.inf)
     bi = int(np.argmax(scores))
+    grows = np.array([lidx.get(l, -1) for l in gate_cands], dtype=np.int64)
+    gscores = np.where(grows >= 0, all_scores[np.maximum(grows, 0)], -np.inf)
+    gate_lang = gate_cands[int(np.argmax(gscores))]
     n = float(cnts.sum())
-    finite = scores[np.isfinite(scores)]
+    finite = gscores[np.isfinite(gscores)]
     if finite.size == 0 or not n:
-        return cands[bi], 0.0, float("-inf")
+        return out(cands[bi], 0.0, float("-inf"), gate_lang)
     if finite.size == 1:
-        return cands[bi], float("inf"), float(scores[bi]) / n
+        return out(
+            cands[bi], float("inf"), float(np.max(gscores)) / n, gate_lang
+        )
     top2 = np.partition(finite, -2)[-2:]
-    return cands[bi], float(top2[1] - top2[0]) / n, float(top2[1]) / n
+    return out(
+        cands[bi], float(top2[1] - top2[0]) / n, float(top2[1]) / n, gate_lang
+    )
 
 
 # Unknown-script gate, checked BEFORE the margin gate: a doc whose
@@ -361,22 +516,31 @@ def classify_or_none_py(
 ) -> str | None:
     """classify_any with the unresolved gate: None when the script is
     unknown, when the NB decision is noise-like on both axes (see the
-    calibration note above), or when the prediction is script-
-    incoherent with the document."""
+    calibration note above), or when the FULL-UNIVERSE argmax is
+    script-incoherent with the document.
+
+    The coherence check deliberately targets the gate-set winner, not
+    the (script-narrowed) returned label: on OOV noise the full
+    argmax is the widest-bucket-coverage attractor (zh/ja) and its
+    script mismatch with the document is the noise signal — the
+    narrowed winner is coherent by construction, so checking it would
+    silence the gate (the alien-Latin fixture pins this)."""
     gate = candidates is None or len(candidates) != 1
     n_alpha = 0
     if gate:
         n_alpha, ratio = known_script_ratio(text)
         if n_alpha >= MIN_SCRIPT_LETTERS and ratio < KNOWN_SCRIPT_MIN_RATIO:
             return None
-    lang, margin, top1 = classify_margin_py(text, candidates, model)
+    lang, margin, top1, gate_lang = classify_margin_py(
+        text, candidates, model, with_gate_winner=True
+    )
     if margin < margin_thr and top1 < abs_thr:
         return None
     if gate and n_alpha >= MIN_SCRIPT_LETTERS:
         from .langdata import LANG_INFO
         from .quality import char_mask, text_codes
 
-        info = LANG_INFO.get(lang)
+        info = LANG_INFO.get(gate_lang)
         if info is not None:
             # same letters-only counting as known_script_ratio: the
             # script classes include non-alphabetic codepoints, and
@@ -721,7 +885,7 @@ def classify_hashed_py(
     gather+matvec over the transposed bucket matrix, then selects the
     candidate rows; languages absent from the model score -inf."""
     model = model if model is not None else default_hashed_model()
-    cands = list(candidates) if candidates else list(LANGUAGES)
+    cands = _narrowed_cands(text, candidates)
     if not model:
         return cands[0]  # every candidate scores -inf; earliest wins
     packed = _packed_grams(text)

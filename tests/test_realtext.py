@@ -55,19 +55,19 @@ def test_fixture_shape():
 def test_dict_nb_transfer_accuracy():
     m = default_model()
     acc, errs = _accuracy(lambda p: classify_py(p, None, m))
-    # measured 0.987 over 306 passages / 102 langs (4 misses:
-    # zh->en one passage, ms->id, mk->ru, su->id — all documented
-    # confusable pairs)
+    # measured 0.990 over 306 passages / 102 langs after round-5
+    # script narrowing (3 misses: ms->id, mk->ru, su->id — documented
+    # same-script confusable pairs; the zh->en miss became zh->ja)
     assert acc >= 0.95, (acc, errs)
 
 
 def test_hashed_nb_transfer_accuracy():
     hm = default_hashed_model()
     acc, errs = _accuracy(lambda p: classify_hashed_py(p, None, hm))
-    # measured 0.971 at 16384 buckets over 306 passages / 102
-    # langs; residual errors are the genuinely-hard pairs (zh/ja han
-    # overlap, short ko, uk/ru, ms/id, mk/ru, su/id, ga/gd). The
-    # 4096-bucket attractor: 0.47.
+    # measured 0.980 at 16384 buckets over 306 passages / 102 langs
+    # after round-5 script narrowing; residual errors are the
+    # genuinely-hard same-script pairs (zh/ja han overlap, uk/ru,
+    # ms/id, mk/ru, ga/gd, su/id). The 4096-bucket attractor: 0.47.
     assert acc >= 0.90, (acc, errs)
 
 
@@ -107,3 +107,70 @@ def test_real_prose_survives_quality_rules():
         doc = _lang_sep(lang).join(passages)
         keep, rule = py_keep_drop(doc)
         assert keep, (lang, rule, doc[:60])
+
+
+# ----------------------------------------------------------------------
+# short-form stratum (round 5): the length envelope — titles/queries
+# ----------------------------------------------------------------------
+
+def _short_accuracy(scorer):
+    from hyperpolyglot_spark.datagen.realtext import short_texts
+
+    n = ok = 0
+    errs = []
+    for lang, frags in short_texts().items():
+        for s in frags:
+            n += 1
+            got = scorer(s)
+            ok += got == lang
+            if got != lang:
+                errs.append((lang, got, s[:30]))
+    return ok / n, errs
+
+
+def test_short_fixture_shape():
+    from hyperpolyglot_spark.datagen.realtext import short_texts
+
+    st = short_texts()
+    assert len(st) == len(REAL_TEXT)
+    for lang, frags in st.items():
+        assert len(frags) == 3, lang
+        for s in frags:
+            # title/query length: never a full passage
+            assert len(s.split()) <= 15, (lang, s)
+            assert len(s) >= 8, (lang, s)
+
+
+def test_short_dict_nb_accuracy():
+    m = default_model()
+    acc, errs = _short_accuracy(lambda s: classify_py(s, None, m))
+    # measured 0.902 over 306 fragments / 102 langs (round 5, with
+    # script narrowing). The misses are intra-script confusable pairs
+    # at title length (es/gl, pt/oc, da/sv, ru/bg, uk/be, id/ms,
+    # zh/ja, hr/cs ...) — the honest short-text envelope; full
+    # passages score 0.990.
+    assert acc >= 0.87, (acc, errs)
+
+
+def test_short_hashed_nb_accuracy():
+    hm = default_hashed_model()
+    acc, errs = _short_accuracy(lambda s: classify_hashed_py(s, None, hm))
+    # measured 0.889 at 16384 buckets (round 5, with script
+    # narrowing — 0.869 without); full passages 0.980
+    assert acc >= 0.85, (acc, errs)
+
+
+def test_short_unresolved_rate_bounded():
+    """The unresolved gate must not eat the short-doc mass: real titles
+    in in-universe languages should overwhelmingly resolve. Measured
+    3.6% gated (round 5) — bounded at 8%."""
+    from hyperpolyglot_spark.datagen.realtext import short_texts
+    from hyperpolyglot_spark.functions.langid import classify_or_none_py
+
+    hm = default_hashed_model()
+    n = gated = 0
+    for lang, frags in short_texts().items():
+        for s in frags:
+            n += 1
+            gated += classify_or_none_py(s, None, hm) is None
+    assert gated / n <= 0.08, (gated, n)
