@@ -136,11 +136,14 @@ def test_perplexity_total_and_positive(s, lang):
 @given(TEXT)
 def test_hashed_classifier_total_and_matches_reference(s):
     """classify_hashed_py's numpy path must equal a naive per-gram
-    reference on arbitrary unicode text (totality + equivalence)."""
+    reference on arbitrary unicode text (totality + equivalence). The
+    reference loops over the same script-narrowed candidate set the
+    scorer defaults to (round 5) — the property under test is the
+    scoring/tie-break math, not the candidate policy."""
     from collections import Counter
 
     from hyperpolyglot_spark.functions.langid import (
-        LANGUAGES,
+        _narrowed_cands,
         classify_hashed_py,
         default_hashed_model,
         gram_bucket,
@@ -150,8 +153,9 @@ def test_hashed_classifier_total_and_matches_reference(s):
     hm = default_hashed_model()
     got = classify_hashed_py(s, None, hm)
     gc = Counter(text_grams(s))
-    best, bs, first = LANGUAGES[0], float("-inf"), True
-    for lang in LANGUAGES:
+    cands = _narrowed_cands(s, None)
+    best, bs, first = cands[0], float("-inf"), True
+    for lang in cands:
         score = (
             float(sum(n * hm[lang][gram_bucket(g)] for g, n in gc.items()))
             if gc
