@@ -1166,11 +1166,82 @@ def decontaminate_documents(spark, sf_dir):
     return decontaminate(docs, bench, n=8)
 
 
+def decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination (GPT-3 appendix-C semantics): the
+    contaminated region — first occurrence of each matched benchmark
+    8-gram ± pad chars, overlapping regions merged — is reported as
+    (span_start, span_len) in whitespace-normalized coordinates, so a
+    rewrite can REMOVE the leak instead of dropping the document.
+    Same simulated eval set as decontaminate_documents. Spark side is
+    pure JVM (locate + gaps-and-islands windows over output-sized
+    partitions); the DuckDB oracle runs the identical algorithm.
+    pad=30 here so sf0.01's ~100-word docs keep text either side;
+    the operator default is the GPT-3 window (PAD_CHARS=200)."""
+    from hyperpolyglot_spark.operators.decontaminate import (
+        contamination_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.array_join(
+            F.expr(r"slice(split(trim(text), '\\s+'), 11, 20)"), " "
+        ).alias("text")
+    )
+    out = contamination_spans(docs, bench, n=8, pad=30)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
 _DECON_GRAMS = (
     "(CASE WHEN len({w}) >= 8 THEN list_distinct("
     "[array_to_string(({w})[i:i+7], ' ') for i in range(1, len({w}) - 6)]) "
     "ELSE []::VARCHAR[] END)"
 )
+
+
+def _decontaminate_spans_sql(pad: int = 30) -> str:
+    """Identical algorithm in DuckDB: normalize, gram, locate the
+    first occurrence, pad, merge via gaps-and-islands windows."""
+    words = "string_split(t, ' ')"
+    return f"""
+        WITH nt AS (
+          SELECT doc_id,
+                 trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS t
+          FROM documents),
+        w AS (SELECT doc_id, {words} AS w, t FROM nt),
+        bg AS (
+          SELECT DISTINCT g FROM (
+            SELECT unnest({_DECON_GRAMS.format(w='(w[11:30])')}) AS g
+            FROM w WHERE doc_id % 50 = 0)),
+        hits AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest({_DECON_GRAMS.format(w='w')}) AS g
+            FROM w) dg JOIN bg USING (g)),
+        raw AS (
+          SELECT h.doc_id,
+                 greatest(1, strpos(nt.t, h.g) - {pad}) AS s,
+                 least(length(nt.t) + 1,
+                       strpos(nt.t, h.g) + length(h.g) + {pad}) AS e
+          FROM hits h JOIN nt ON h.doc_id = nt.doc_id),
+        ord AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s <= max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 0 ELSE 1 END AS ni
+          FROM raw),
+        isl AS (
+          SELECT doc_id, s, e,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+          FROM ord)
+        SELECT doc_id, min(s)::BIGINT AS span_start,
+               (max(e) - min(s))::BIGINT AS span_len
+        FROM isl GROUP BY doc_id, island
+    """
 
 
 def _decontaminate_sql() -> str:
@@ -1296,7 +1367,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchases_asof_click": purchases_asof_click,
         "clicks_in_purchase_windows": clicks_in_purchase_windows,
         "lang_breakdown": lang_breakdown,
-        "source_lang_matrix": source_lang_matrix,
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
         "regex_marker_counts": regex_marker_counts,
@@ -1324,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unresolved_disposition": unresolved_disposition,
         "canonical_url_dedup": canonical_url_dedup,
         "decontaminate_documents": decontaminate_documents,
+        "decontaminate_spans": decontaminate_spans,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
         "embedding_label_centroids": embedding_label_centroids,
@@ -1333,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotation tail (past the driver's 50-entry window this
         # round; driver-green r01-r04, specs untouched in r05, still
         # oracled in-repo every pytest run; promote back in r06) ---
+        "source_lang_matrix": source_lang_matrix,
         "orders_with_heavy_items": orders_with_heavy_items,
         "top2_orders_per_customer": top2_orders_per_customer,
         "revenue_pct_by_returnflag": revenue_pct_by_returnflag,
@@ -1953,6 +2025,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "canonical_url_dedup": _canon_dedup_sql(),
         "decontaminate_documents": _decontaminate_sql(),
+        "decontaminate_spans": _decontaminate_spans_sql(),
         "embedding_ann_ivf": """
             SELECT vec_id, round(cosine_raw, 6) AS cosine
             FROM read_parquet('/root/repo/data/expected_sf0.01/embedding_ann_ivf.parquet')

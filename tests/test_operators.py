@@ -635,3 +635,73 @@ def test_doc_word_ngrams_matches_py_spec(spark):
         got.setdefault(r["doc_id"], set()).add(r["gram"])
     for i, t in enumerate(texts):
         assert got.get(i, set()) == py_word_ngrams(t, 8), t
+
+
+def test_contamination_spans_and_rewrite_match_py_spec(spark):
+    """Span extraction (merged ±pad regions) and the scrub-style
+    rewrite must match the pure-python spec row-for-row — including
+    overlapping spans merging, span-at-start/end clamping, and dirty
+    whitespace normalization."""
+    from hyperpolyglot_spark.operators.decontaminate import (
+        contamination_spans,
+        decontaminate_rewrite,
+        py_contamination_spans,
+        py_decontaminate_rewrite,
+        py_norm,
+        py_word_ngrams,
+    )
+
+    leak = "LEAK one two three four five six seven"
+    leak2 = "six seven TAIL y0 y1 y2 y3 y4"
+    filler = lambda p, k: " ".join(f"{p}{i}" for i in range(k))
+    texts = [
+        # leak mid-doc
+        filler("a", 30) + " " + leak + " " + filler("b", 30),
+        # two overlapping leaks -> one merged span
+        filler("c", 25) + " " + leak + " TAIL y0 y1 y2 y3 y4 " + filler("d", 25),
+        # leak at the very start (clamp to 1) and dirty whitespace
+        "\t " + leak + "\n " + filler("e", 30),
+        # leak at the very end (clamp to len+1)
+        filler("f", 30) + " " + leak,
+        # clean doc: no spans, not in rewrite output
+        filler("g", 40),
+        # whole doc inside the pad -> everything removed
+        leak,
+    ]
+    bench_set = {
+        g
+        for t in (leak, leak2)
+        for g in py_word_ngrams(t, 8)
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(leak,), (leak2,)], "text string"
+    )
+    pad = 20
+    got_spans: dict[int, list] = {}
+    for r in contamination_spans(docs, bench, n=8, pad=pad).collect():
+        got_spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_start"] + r["span_len"])
+        )
+    got_clean = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in decontaminate_rewrite(docs, bench, n=8, pad=pad).collect()
+    }
+    for i, t in enumerate(texts):
+        want = py_contamination_spans(t, bench_set, n=8, pad=pad)
+        assert sorted(got_spans.get(i, [])) == want, (i, got_spans.get(i), want)
+        if want:
+            assert got_clean[i] == py_decontaminate_rewrite(t, want), i
+            assert "LEAK" not in got_clean[i], i
+        else:
+            assert i not in got_clean
+    # doc 1: the two leaks merged into ONE span
+    assert len(got_spans[1]) == 1
+    # doc 5: whole doc removed -> empty cleaned text
+    assert got_clean[5] == ""
+    # doc 2 leak starts at position 1 after normalization
+    assert got_spans[2][0][0] == 1
+    # rewrite result never contains the normalized leak region
+    assert py_norm(texts[2]).startswith(leak)
