@@ -705,3 +705,317 @@ def test_contamination_spans_and_rewrite_match_py_spec(spark):
     assert got_spans[2][0][0] == 1
     # rewrite result never contains the normalized leak region
     assert py_norm(texts[2]).startswith(leak)
+
+
+# --- baseline JPEG decode (round 5) -------------------------------------
+# Test-side minimal baseline-JPEG ENCODER written from the public T.81
+# spec formulas (like the PNG test encoder): FDCT via the orthogonal
+# basis matrix, canonical huffman tables built fresh from the symbols
+# actually emitted, byte stuffing, optional chroma subsampling. The
+# decoder under test must round-trip it.
+
+def _jhuff(symbols):
+    syms = sorted(set(symbols))
+    L = 1
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, bytes(syms), {s: (i, L) for i, s in enumerate(syms)}
+
+
+class _JBits:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)
+        return bytes(self.out)
+
+    def restart(self, k):
+        while self.n:
+            self.put(1, 1)
+        self.out += bytes([0xFF, 0xD0 + (k % 8)])
+
+
+def _jcat(v):
+    return abs(v).bit_length()
+
+
+def _jpeg_block_syms(blocks, q):
+    """Per-plane: (dc_syms, ac_syms, per-block coded token lists)."""
+    from hyperpolyglot_spark.operators.multimodal import _IDCT_A, _ZIGZAG
+
+    A = _IDCT_A
+    toks, dcs, acs = [], [], []
+    pred = 0
+    for blk in blocks:
+        coef = A.T @ (blk.astype(np.float64) - 128.0) @ A
+        zz = np.round(coef.reshape(64)[_ZIGZAG] / q).astype(np.int64)
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = _jcat(diff)
+        dcs.append(s)
+        t = [("dc", s, diff)]
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append(0xF0)
+                t.append(("ac", 0xF0, 0))
+                run -= 16
+            ss = _jcat(v)
+            sym = (run << 4) | ss
+            acs.append(sym)
+            t.append(("ac", sym, v))
+            run = 0
+        if last < 63:
+            acs.append(0x00)
+            t.append(("ac", 0x00, 0))
+        toks.append(t)
+    return dcs, acs, toks
+
+
+def _encode_jpeg(img, sampling=None, q=None, ri=0):
+    """Minimal baseline JPEG: one quant table, one DC + one AC huffman
+    table shared by all components, interleaved single scan; ri > 0
+    emits DRI + RSTn markers every ri MCUs (DC predictors reset)."""
+    h, w, nc = img.shape
+    sampling = sampling or [(1, 1)] * nc
+    q = np.ones(64, np.int64) if q is None else np.asarray(q, np.int64)
+    if nc == 3:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [img[..., 0].astype(np.float64)]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    plane_blocks = []
+    for (ch, cv), p in zip(sampling, planes):
+        # box-average subsample then pad (edge-replicate) to MCU grid
+        fy, fx = vmax // cv, hmax // ch
+        ph = -(-p.shape[0] // fy) * fy
+        pw = -(-p.shape[1] // fx) * fx
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
+        sub = pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * cv * 8, mcux * ch * 8
+        sub = np.pad(
+            sub,
+            ((0, th - sub.shape[0]), (0, tw - sub.shape[1])),
+            "edge",
+        )
+        blocks = {}
+        for by in range(th // 8):
+            for bx in range(tw // 8):
+                blocks[(by, bx)] = np.clip(
+                    np.round(sub[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]),
+                    0, 255,
+                )
+        plane_blocks.append(blocks)
+    # interleaved MCU block order per plane
+    ordered = [[] for _ in planes]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (ch, cv) in enumerate(sampling):
+                for v in range(cv):
+                    for u in range(ch):
+                        ordered[ci].append(
+                            plane_blocks[ci][(my * cv + v, mx * ch + u)]
+                        )
+    blocks_per_mcu = [ch * cv for ch, cv in sampling]
+    if ri:
+        # re-tokenize each restart segment independently (DC predictor
+        # resets at every RSTn)
+        nmcu = mcux * mcuy
+        all_dc, all_ac = [], []
+        toks = [[] for _ in planes]
+        for seg0 in range(0, nmcu, ri):
+            for ci in range(len(planes)):
+                k = blocks_per_mcu[ci]
+                segblocks = ordered[ci][seg0 * k : (seg0 + ri) * k]
+                d, a, t = _jpeg_block_syms(segblocks, q)
+                all_dc += d
+                all_ac += a
+                toks[ci] += t
+    else:
+        all_dc, all_ac, toks = [], [], []
+        for ci in range(len(planes)):
+            d, a, t = _jpeg_block_syms(ordered[ci], q)
+            all_dc += d
+            all_ac += a
+            toks.append(t)
+    dbits, dvals, dmap = _jhuff(all_dc)
+    abits, avals, amap = _jhuff(all_ac)
+    bw = _JBits()
+    # re-interleave token emission in MCU order
+    idx = [0] * len(planes)
+    mcu_no = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu_no and mcu_no % ri == 0:
+                bw.restart(mcu_no // ri - 1)
+            mcu_no += 1
+            for ci, (ch, cv) in enumerate(sampling):
+                for _ in range(ch * cv):
+                    for kind, sym, v in toks[ci][idx[ci]]:
+                        code, ln = (dmap if kind == "dc" else amap)[sym]
+                        bw.put(code, ln)
+                        s = sym if kind == "dc" else sym & 0xF
+                        if kind == "ac" and s == 0:
+                            continue
+                        if s:
+                            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                    idx[ci] += 1
+    data = bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci, (ch, cv) in enumerate(sampling):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    return (
+        b"\xff\xd8"
+        # DQT payload is in zigzag order — the same order the encoder
+        # divides in, so the array is written verbatim
+        + seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+        + seg(0xC0, sof)
+        + seg(0xC4, bytes([0x00]) + bytes(dbits) + dvals)
+        + seg(0xC4, bytes([0x10]) + bytes(abits) + avals)
+        + (seg(0xDD, int(ri).to_bytes(2, "big")) if ri else b"")
+        + seg(0xDA, sos)
+        + data
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_roundtrip_grey_and_rgb():
+    rng = np.random.RandomState(11)
+    # smooth gradient + mild noise (quant table of ones -> near-lossless)
+    yy, xx = np.mgrid[0:16, 0:24]
+    grey = ((yy * 7 + xx * 5) % 256).astype(np.uint8)[..., None]
+    b = _encode_jpeg(grey)
+    got = decode_image(b)
+    assert got.shape == (16, 24, 1)
+    assert np.abs(got.astype(int) - grey.astype(int)).max() <= 2
+    rgb = np.stack(
+        [
+            (yy * 9 + xx * 3) % 256,
+            (yy * 2 + xx * 11) % 256,
+            np.clip(60 + yy * 4 + xx, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    b3 = _encode_jpeg(rgb)
+    got3 = decode_image(b3)
+    assert got3.shape == (16, 24, 3)
+    # YCbCr forward+inverse rounding adds ~±2
+    assert np.abs(got3.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_jpeg_roundtrip_420_subsampled():
+    yy, xx = np.mgrid[0:24, 0:40]
+    # LINEAR ramps so 2x2 chroma box-average ≈ the center value
+    rgb = np.stack(
+        [50 + 2 * yy + xx, 200 - yy - 2 * xx, 30 + yy + xx], axis=-1
+    ).astype(np.uint8)
+    b = _encode_jpeg(rgb, sampling=[(2, 2), (1, 1), (1, 1)])
+    got = decode_image(b)
+    assert got.shape == rgb.shape
+    err = np.abs(got.astype(int) - rgb.astype(int))
+    assert err.mean() <= 3 and err.max() <= 14, (err.mean(), err.max())
+
+
+def test_jpeg_nonuniform_quant_and_restart_unsupported_paths():
+    # non-trivial quant table still round-trips within quantization error
+    yy, xx = np.mgrid[0:8, 0:8]
+    img = ((yy * 16 + xx) * 3 % 256).astype(np.uint8)[..., None]
+    q = np.ones(64, np.int64)
+    q[1:] = 2
+    b = _encode_jpeg(img, q=q)
+    got = decode_image(b)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 10
+    # progressive marker (SOF2) is a DECLARED NotImplementedError...
+    prog = b.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_image(prog)
+    # ...and falls back to the deterministic fake under fake=True
+    img_fake = decode_image(prog, fake=True)
+    assert img_fake.shape == (4, 4, 3)
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: byte-realign + DC predictor reset every ri MCUs."""
+    yy, xx = np.mgrid[0:16, 0:48]
+    grey = ((yy * 5 + xx * 7) % 256).astype(np.uint8)[..., None]
+    b = _encode_jpeg(grey, ri=2)
+    assert b.count(b"\xff\xd0") >= 1  # restarts actually emitted
+    got = decode_image(b)
+    assert got.shape == grey.shape
+    assert np.abs(got.astype(int) - grey.astype(int)).max() <= 2
+
+
+def test_media_features_real_jpeg_distributed(spark):
+    """Distributed end-to-end: baseline JPEG payloads decode natively
+    (pure-numpy T.81 path) inside the mapInPandas feature extractor —
+    mixed with PNG payloads in the same batch."""
+    yy, xx = np.mgrid[0:8, 0:8]
+    rows, want = [], {}
+    for i in range(4):
+        px = np.stack(
+            [
+                (30 * i + 2 * yy + xx) % 256,
+                (200 - yy - 2 * xx - 10 * i) % 256,
+                (60 + yy + xx + 5 * i) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        payload = _encode_jpeg(px)
+        rows.append((i, "image", bytearray(payload), 8, 8, None, None))
+        want[i] = decode_image(payload)  # driver-side reference decode
+    # one PNG in the same table to prove format dispatch per row
+    png_px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    rows.append((99, "image", bytearray(_make_png(png_px, 2, [1])), 8, 8, None, None))
+    want[99] = png_px
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int,"
+        " height int, sample_rate int, duration_ms int",
+    )
+    out = {
+        r["media_id"]: r
+        for r in media_features(media, fake_decode=False).collect()
+    }
+    assert len(out) == 5
+    for i, px in want.items():
+        w = np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])
+        got = np.array(out[i]["features"][: len(w)])
+        assert np.allclose(got, w, atol=1e-3), i
