@@ -55,6 +55,9 @@ HEADLINE = [
     "langid_unresolved",
     "canonical_url_dedup",
     "decontaminate_documents",
+    # round-5 operators
+    "unresolved_disposition",
+    "decontaminate_spans",
 ]
 
 
@@ -288,6 +291,12 @@ def main() -> None:
     ctrl_before = py_control_rate()
     spark = make_spark(CPUS)
     pipe = bench_pipeline(spark, sf)
+    # second control probe straight after the timed pipeline legs:
+    # round-5 adjudication of the r03->r04 "dip" found the single
+    # before-probe can mispair with the timed window (intra-leg control
+    # swings of 1.7x observed) — r03's 18.7x effective-core multiple
+    # was exactly that artifact
+    ctrl_mid = py_control_rate()
     queries = bench_queries(spark)
     total = round(sum(queries.values()), 3)
     print(
@@ -313,8 +322,14 @@ def main() -> None:
                 # Spark-free single-core probe of the box's delivered
                 # CPU at measurement time (the box is host-time-shared;
                 # observed 3x+ swings between minutes) — compare across
-                # rounds before comparing throughput
-                "control_docs_per_sec": ctrl_before,
+                # rounds before comparing throughput. Average of a probe
+                # BEFORE the JVM start and one RIGHT AFTER the timed
+                # pipeline legs (the window that matters for `value`)
+                "control_docs_per_sec": round(
+                    (ctrl_before + ctrl_mid) / 2, 1
+                ),
+                "control_before": ctrl_before,
+                "control_after_pipeline": ctrl_mid,
             }
         )
     )
