@@ -473,6 +473,115 @@ def media_features(
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
 
+# ----------------------------------------------------------------------
+# audio: RIFF/WAVE PCM decode (public format, stdlib-feasible) —
+# closes the "audio has plumbing only" boundary the same way PNG/JPEG
+# did for images. Compressed codecs (mp3/aac/opus) genuinely need an
+# audio library and stay behind the declared fake fallback.
+# ----------------------------------------------------------------------
+
+def decode_audio(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int]:
+    """(samples float64 in [-1, 1] shaped (n, channels), sample_rate).
+
+    REAL decode for RIFF/WAVE PCM (8-bit unsigned, 16/32-bit signed)
+    and IEEE-float WAV — a chunked parse, so extra chunks (LIST, fact,
+    cue) are skipped correctly. Other containers/codecs raise
+    NotImplementedError unless fake=True (deterministic hash-derived
+    samples, same shape contract)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i = 12
+        fmt = None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            (clen,) = np.frombuffer(payload, "<u4", 1, i + 4)
+            body = payload[i + 8 : i + 8 + int(clen)]
+            if cid == b"fmt ":
+                tag, nch = np.frombuffer(body, "<u2", 2, 0)
+                (rate,) = np.frombuffer(body, "<u4", 1, 4)
+                (bits,) = np.frombuffer(body, "<u2", 1, 14)
+                fmt = (int(tag), int(nch), int(rate), int(bits))
+            elif cid == b"data":
+                if fmt is None:
+                    raise ValueError("WAV data before fmt chunk")
+                tag, nch, rate, bits = fmt
+                if tag == 1 and bits == 16:
+                    a = np.frombuffer(body, "<i2").astype(np.float64) / 32768.0
+                elif tag == 1 and bits == 8:
+                    a = (np.frombuffer(body, np.uint8).astype(np.float64) - 128.0) / 128.0
+                elif tag == 1 and bits == 32:
+                    a = np.frombuffer(body, "<i4").astype(np.float64) / 2147483648.0
+                elif tag == 3 and bits == 32:
+                    a = np.frombuffer(body, "<f4").astype(np.float64)
+                else:
+                    raise NotImplementedError(
+                        f"WAV format tag={tag} bits={bits} not supported"
+                    )
+                n = (len(a) // nch) * nch
+                return a[:n].reshape(-1, nch).copy(), rate
+            # chunks are word-aligned: odd lengths carry a pad byte
+            i += 8 + int(clen) + (int(clen) & 1)
+        raise ValueError("WAV without a data chunk")
+    if not fake:
+        raise NotImplementedError(
+            "native decode covers RIFF/WAVE PCM + IEEE-float; "
+            "compressed codecs need an audio library (fake=True for "
+            "the deterministic stub)"
+        )
+    d = hashlib.blake2b(payload, digest_size=64).digest()
+    a = (np.frombuffer(d, np.uint8).astype(np.float64) - 128.0) / 128.0
+    return a.reshape(-1, 1).copy(), 16000
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """(id, sample_rate, n_samples, duration_ms, rms, zero_cross_rate,
+    peak) per audio row via mapInPandas — the same bounded-batch
+    boundary as media_features; payload column pruned for
+    metadata-only consumers."""
+    out_schema = (
+        f"{id_col} long, sample_rate int, n_samples long, duration_ms long,"
+        " rms double, zero_cross_rate double, peak double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                a, rate = decode_audio(b, fake=fake_decode)
+                mono = a.mean(axis=1)
+                n = len(mono)
+                zc = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        n,
+                        int(round(1000.0 * n / max(rate, 1))),
+                        float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+                        zc,
+                        float(np.abs(mono).max()) if n else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_samples", "duration_ms",
+                    "rms", "zero_cross_rate", "peak",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
+
+
 def resize_image(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """Nearest-neighbor resize of an HxWxC array — pure numpy index
     math (REAL, not stubbed: only the payload->array decode needs an

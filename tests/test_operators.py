@@ -1019,3 +1019,92 @@ def test_media_features_real_jpeg_distributed(spark):
         w = np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])
         got = np.array(out[i]["features"][: len(w)])
         assert np.allclose(got, w, atol=1e-3), i
+
+
+# --- WAV audio decode (round 5) -----------------------------------------
+def _make_wav(samples, rate, bits=16, tag=1, extra_chunk=False):
+    """From-spec RIFF/WAVE writer (test-side), optionally with a LIST
+    chunk before data (chunked parsers must skip it)."""
+    import struct
+
+    nch = samples.shape[1]
+    if tag == 1 and bits == 16:
+        body = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    elif tag == 1 and bits == 8:
+        body = (np.clip(samples, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif tag == 3 and bits == 32:
+        body = samples.astype("<f4").tobytes()
+    else:
+        raise ValueError
+    fmt = struct.pack(
+        "<HHIIHH", tag, nch, rate, rate * nch * bits // 8,
+        nch * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        meta = b"INFOsoft"  # odd-ish content; length 8
+        chunks += b"LIST" + struct.pack("<I", len(meta)) + meta
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_roundtrip():
+    from hyperpolyglot_spark.operators.multimodal import decode_audio
+
+    t = np.arange(800) / 8000.0
+    stereo = np.stack(
+        [np.sin(2 * np.pi * 440 * t), 0.5 * np.cos(2 * np.pi * 220 * t)],
+        axis=1,
+    )
+    a, rate = decode_audio(_make_wav(stereo, 8000))
+    assert rate == 8000 and a.shape == (800, 2)
+    assert np.abs(a - stereo).max() < 1e-3  # 16-bit quantization
+    # 8-bit mono with an extra LIST chunk before data
+    mono = np.sin(2 * np.pi * 100 * t)[:, None]
+    a8, r8 = decode_audio(_make_wav(mono, 16000, bits=8, extra_chunk=True))
+    assert r8 == 16000 and a8.shape == (800, 1)
+    assert np.abs(a8 - mono).max() < 1e-1  # 8-bit quantization
+    # IEEE float is exact
+    af, _ = decode_audio(_make_wav(stereo, 44100, bits=32, tag=3))
+    assert np.abs(af - stereo).max() < 1e-7
+    # compressed codecs: declared gap + deterministic fake
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfb\x90\x00 not really mp3")
+    fa, fr = decode_audio(b"\xff\xfb\x90\x00 not really mp3", fake=True)
+    assert fr == 16000 and fa.shape[1] == 1
+
+
+def test_audio_features_distributed(spark):
+    from hyperpolyglot_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+    )
+
+    t = np.arange(1600) / 16000.0
+    rows, want = [], {}
+    for i in range(4):
+        freq = 110 * (i + 1)
+        mono = (0.2 + 0.1 * i) * np.sin(2 * np.pi * freq * t)[:, None]
+        payload = _make_wav(mono, 16000)
+        rows.append((i, "audio", bytearray(payload), None, None, 16000, 100))
+        a, _ = decode_audio(payload)
+        m = a.mean(axis=1)
+        want[i] = (
+            float(np.sqrt(np.mean(m**2))),
+            float(np.mean(np.signbit(m[1:]) != np.signbit(m[:-1]))),
+        )
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int,"
+        " height int, sample_rate int, duration_ms int",
+    )
+    out = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert len(out) == 4
+    for i, (rms, zcr) in want.items():
+        r = out[i]
+        assert r["sample_rate"] == 16000 and r["n_samples"] == 1600
+        assert r["duration_ms"] == 100
+        assert abs(r["rms"] - rms) < 1e-9
+        assert abs(r["zero_cross_rate"] - zcr) < 1e-9
