@@ -34,8 +34,9 @@ FEATURE_DIM = 16
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# PNG color type -> channel count (palette intentionally unsupported)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# PNG color type -> channel count (3 = palette: one index byte per
+# pixel, expanded to RGB via the PLTE chunk after unfiltering)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _decode_ppm(b: bytes) -> np.ndarray:
@@ -107,15 +108,17 @@ def _unfilter_png(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def _decode_png(b: bytes) -> np.ndarray:
-    """Pure numpy+zlib PNG decode: 8-bit greyscale/RGB(+alpha),
-    non-interlaced (the shapes a training-data pipeline normalizes to
-    anyway). Palette and 16-bit stay NotImplementedError."""
+    """Pure numpy+zlib PNG decode: 8-bit greyscale/RGB(+alpha) and
+    8-bit palette (PLTE index lookup), non-interlaced (the shapes a
+    training-data pipeline normalizes to anyway). 16-bit and
+    sub-byte-depth palette stay NotImplementedError."""
     import zlib
 
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     i, w = 8, None
     idat = []
+    plte = None
     while i + 8 <= len(b):
         (length,) = np.frombuffer(b, dtype=">u4", count=1, offset=i)
         ctype = b[i + 4 : i + 8]
@@ -128,9 +131,11 @@ def _decode_png(b: bytes) -> np.ndarray:
             if depth != 8:
                 raise NotImplementedError("only 8-bit PNG supported")
             if color not in _PNG_CHANNELS:
-                raise NotImplementedError("palette PNG not supported")
+                raise NotImplementedError(f"PNG color type {color} not supported")
             if interlace:
                 raise NotImplementedError("interlaced PNG not supported")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -142,7 +147,12 @@ def _decode_png(b: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if raw.size != h * (w * ch + 1):
         raise ValueError("PNG pixel payload size mismatch")
-    return _unfilter_png(raw, h, w * ch, ch).reshape(h, w, ch).copy()
+    px = _unfilter_png(raw, h, w * ch, ch).reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[px[..., 0]].copy()  # (h, w) indices -> (h, w, 3)
+    return px.copy()
 
 
 # ----------------------------------------------------------------------

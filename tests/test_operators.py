@@ -478,10 +478,12 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def _make_png(pixels, color_type, filters):
+def _make_png(pixels, color_type, filters, plte=None):
     """Hand-rolled PNG encoder (spec formulas, independent of the
     decoder): filter each scanline with the REQUESTED filter type so
-    the test exercises every unfilter branch."""
+    the test exercises every unfilter branch. ``plte`` (Nx3 uint8)
+    emits a PLTE chunk for color type 3 (pixels are then (h,w,1)
+    palette indices)."""
     import struct, zlib as z
 
     import numpy as np
@@ -517,9 +519,15 @@ def _make_png(pixels, color_type, filters):
         raw.extend(int(v) for v in out)
         prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    plte_chunk = (
+        _png_chunk(b"PLTE", np.asarray(plte, np.uint8).tobytes())
+        if plte is not None
+        else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
+        + plte_chunk
         + _png_chunk(b"IDAT", z.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -1108,3 +1116,16 @@ def test_audio_features_distributed(spark):
         assert r["duration_ms"] == 100
         assert abs(r["rms"] - rms) < 1e-9
         assert abs(r["zero_cross_rate"] - zcr) < 1e-9
+
+
+def test_decode_png_palette():
+    """Color type 3: one index byte per pixel, expanded via PLTE."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(6, 5, 1), dtype=np.uint8)
+    b = _make_png(idx, color_type=3, filters=[0, 1, 2, 3, 4], plte=plte)
+    got = decode_image(b)
+    assert got.shape == (6, 5, 3)
+    assert (got == plte[idx[..., 0]]).all()
