@@ -1195,6 +1195,26 @@ def decontaminate_spans(spark, sf_dir):
     )
 
 
+def decontaminate_rewrite_docs(spark, sf_dir):
+    """The scrub-style companion of decontaminate_spans: contaminated
+    docs rewritten with the merged regions REMOVED (surviving pieces
+    joined by one space) instead of dropping the whole document —
+    GPT-3 appendix-C. Spark side: spans pipeline + piece stitching
+    over output-sized per-doc arrays; DuckDB oracle: the identical
+    islands merge + LAG piece extraction + ordered string_agg."""
+    from hyperpolyglot_spark.operators.decontaminate import (
+        decontaminate_rewrite,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.array_join(
+            F.expr(r"slice(split(trim(text), '\\s+'), 11, 20)"), " "
+        ).alias("text")
+    )
+    return decontaminate_rewrite(docs, bench, n=8, pad=30)
+
+
 _DECON_GRAMS = (
     "(CASE WHEN len({w}) >= 8 THEN list_distinct("
     "[array_to_string(({w})[i:i+7], ' ') for i in range(1, len({w}) - 6)]) "
@@ -1241,6 +1261,40 @@ def _decontaminate_spans_sql(pad: int = 30) -> str:
         SELECT doc_id, min(s)::BIGINT AS span_start,
                (max(e) - min(s))::BIGINT AS span_len
         FROM isl GROUP BY doc_id, island
+    """
+
+
+def _decontaminate_rewrite_sql(pad: int = 30) -> str:
+    """Cleaned text via the same islands merge + LAG piece extraction:
+    piece_i = substr(t, prev_end, start_i - prev_end), plus the tail
+    after the last span; non-empty pieces joined by one space."""
+    spans = _decontaminate_spans_sql(pad)
+    return f"""
+        WITH spans AS ({spans}),
+        nt AS (
+          SELECT doc_id,
+                 trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS t
+          FROM documents),
+        merged AS (
+          SELECT doc_id, span_start AS s, span_start + span_len AS e
+          FROM spans),
+        withprev AS (
+          SELECT doc_id, s, e,
+                 lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+          FROM merged),
+        pieces AS (
+          SELECT w.doc_id, w.s AS ord,
+                 substr(nt.t, w.pe::INT, (w.s - w.pe)::INT) AS piece
+          FROM withprev w JOIN nt ON w.doc_id = nt.doc_id
+          UNION ALL
+          SELECT m.doc_id, 2147483647 AS ord,
+                 substr(nt.t, max(m.e)::INT) AS piece
+          FROM merged m JOIN nt ON m.doc_id = nt.doc_id
+          GROUP BY m.doc_id, nt.t)
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN piece <> '' THEN piece END,
+                                   ' ' ORDER BY ord), '') AS cleaned_text
+        FROM pieces GROUP BY doc_id
     """
 
 
@@ -1369,7 +1423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_breakdown": lang_breakdown,
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
-        "regex_marker_counts": regex_marker_counts,
         "family_breakdown": family_breakdown,
         "docs_matching_regex": docs_matching_regex,
         "lang_chars_zscore": lang_chars_zscore,
@@ -1395,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_dedup": canonical_url_dedup,
         "decontaminate_documents": decontaminate_documents,
         "decontaminate_spans": decontaminate_spans,
+        "decontaminate_rewrite_docs": decontaminate_rewrite_docs,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
         "embedding_label_centroids": embedding_label_centroids,
@@ -1404,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotation tail (past the driver's 50-entry window this
         # round; driver-green r01-r04, specs untouched in r05, still
         # oracled in-repo every pytest run; promote back in r06) ---
+        "regex_marker_counts": regex_marker_counts,
         "source_lang_matrix": source_lang_matrix,
         "orders_with_heavy_items": orders_with_heavy_items,
         "top2_orders_per_customer": top2_orders_per_customer,
@@ -2026,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_url_dedup": _canon_dedup_sql(),
         "decontaminate_documents": _decontaminate_sql(),
         "decontaminate_spans": _decontaminate_spans_sql(),
+        "decontaminate_rewrite_docs": _decontaminate_rewrite_sql(),
         "embedding_ann_ivf": """
             SELECT vec_id, round(cosine_raw, 6) AS cosine
             FROM read_parquet('/root/repo/data/expected_sf0.01/embedding_ann_ivf.parquet')
