@@ -984,6 +984,37 @@ def langid_unresolved(spark, sf_dir):
     )
 
 
+def langid_short_texts(spark, sf_dir):
+    """Short-form (title/query-length) language ID: the 306-fragment
+    stratum (datagen/realtext.short_texts — 5-15 words, all 102
+    languages) classified with the production hashed-NB + unresolved
+    gate. This is the length envelope a real crawl's short-doc mass
+    lives in; round-5 script narrowing lifted it 0.869 -> 0.889
+    (hashed). Oracle = frozen expected from the pure-python spec
+    (classify_or_none_py), cross-checked at freeze time. The sf_dir
+    tables are not used: the stratum IS the fixture, like the
+    out-of-universe half of langid_unresolved."""
+    from hyperpolyglot_spark.datagen.realtext import short_texts
+    from hyperpolyglot_spark.functions.langid import make_classify_udf
+
+    rows = [
+        (30_000 + 3 * i + j, lang, frag)
+        for i, (lang, frags) in enumerate(sorted(short_texts().items()))
+        for j, frag in enumerate(frags)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    clf = make_classify_udf(spark, None, unresolved=True)
+    df = df.withColumn(
+        "lang_pred", clf(F.col("text"), F.array().cast("array<string>"))
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        "lang_pred",
+        (F.col("lang_pred") == F.col("lang")).alias("correct"),
+    )
+
+
 def unresolved_disposition(spark, sf_dir):
     """Explicit unresolved-language keep policy (VERDICT r4 #1): docs
     the classifier declines (NULL lang_pred) bypass the perplexity rule
@@ -1425,7 +1456,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "family_breakdown": family_breakdown,
         "docs_matching_regex": docs_matching_regex,
-        "lang_chars_zscore": lang_chars_zscore,
         "lang_median_chars": lang_median_chars,
         "exact_dedup_documents": exact_dedup_documents,
         "neardup_jaccard_pairs": neardup_jaccard_pairs,
@@ -1444,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": doc_tokens,
         "langid_predict_documents": langid_predict_documents,
         "langid_unresolved": langid_unresolved,
+        "langid_short_texts": langid_short_texts,
         "unresolved_disposition": unresolved_disposition,
         "canonical_url_dedup": canonical_url_dedup,
         "decontaminate_documents": decontaminate_documents,
@@ -1458,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotation tail (past the driver's 50-entry window this
         # round; driver-green r01-r04, specs untouched in r05, still
         # oracled in-repo every pytest run; promote back in r06) ---
+        "lang_chars_zscore": lang_chars_zscore,
         "regex_marker_counts": regex_marker_counts,
         "source_lang_matrix": source_lang_matrix,
         "orders_with_heavy_items": orders_with_heavy_items,
@@ -2072,6 +2104,10 @@ def oracle_sql() -> dict[str, str]:
         "langid_unresolved": """
             SELECT doc_id, lang_pred, strategy
             FROM read_parquet('/root/repo/data/expected_sf0.01/langid_unresolved.parquet')
+        """,
+        "langid_short_texts": """
+            SELECT doc_id, lang, lang_pred, correct
+            FROM read_parquet('/root/repo/data/expected_sf0.01/langid_short_texts.parquet')
         """,
         "unresolved_disposition": """
             SELECT doc_id, lang_pred, keep, drop_rule, ppl_scored,

@@ -106,6 +106,35 @@ def expected_langid_unresolved() -> pd.DataFrame:
     ).astype({"doc_id": "int64"})
 
 
+def expected_langid_short_texts() -> pd.DataFrame:
+    """classify_or_none_py over the short-form stratum (titles/queries,
+    datagen/realtext.short_texts) — the frozen length-envelope spec the
+    Spark query must reproduce, including which fragments the gate
+    declines (NULL lang_pred -> NULL correct)."""
+    from hyperpolyglot_spark.datagen.realtext import short_texts
+    from hyperpolyglot_spark.functions.langid import (
+        classify_or_none_py,
+        default_hashed_model,
+    )
+
+    model = default_hashed_model()
+    out = []
+    for i, (lang, frags) in enumerate(sorted(short_texts().items())):
+        for j, frag in enumerate(frags):
+            pred = classify_or_none_py(frag, [], model)
+            out.append(
+                (
+                    30_000 + 3 * i + j,
+                    lang,
+                    pred,
+                    (pred == lang) if pred is not None else None,
+                )
+            )
+    return pd.DataFrame(
+        out, columns=["doc_id", "lang", "lang_pred", "correct"]
+    ).astype({"doc_id": "int64"})
+
+
 def expected_unresolved_disposition() -> pd.DataFrame:
     """Pure-python spec of the unresolved-policy query: classify with
     the gate, keep/drop ladder (no url -> vendor rule can't fire),
@@ -316,6 +345,7 @@ def main():
         "langid_predict_documents": expected_langid_predictions(),
         "langid_unresolved": expected_langid_unresolved(),
         "unresolved_disposition": expected_unresolved_disposition(),
+        "langid_short_texts": expected_langid_short_texts(),
         "embedding_ann_ivf": expected_ivf_topk(),
         "embedding_knn_blocked": expected_knn_blocked(),
         "doc_token_nb": expected_token_nb(),
@@ -337,6 +367,7 @@ def main():
     crosscheck(
         spark, "unresolved_disposition", tables["unresolved_disposition"]
     )
+    crosscheck(spark, "langid_short_texts", tables["langid_short_texts"])
     crosscheck(
         spark,
         "embedding_ann_ivf",
