@@ -984,6 +984,44 @@ def langid_unresolved(spark, sf_dir):
     )
 
 
+def audio_media_features(spark, sf_dir):
+    """Audio-column operator as a driver row: WAV payloads synthesized
+    deterministically from doc_id (datagen/audio — integer-math
+    samples wrapped in RIFF/PCM16), decoded DISTRIBUTED by the real
+    chunked WAV parser inside audio_features (mapInPandas), features
+    rounded for the hash gate. The frozen oracle recomputes the
+    features from the raw integer samples WITHOUT the WAV container —
+    so the row checks the RIFF encode/decode round-trip AND the
+    feature math, not one implementation against itself."""
+    import pandas as pd
+
+    from hyperpolyglot_spark.datagen.audio import synth_wav
+    from hyperpolyglot_spark.operators.multimodal import audio_features
+
+    @F.pandas_udf("binary")
+    def wav_udf(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_wav(int(i)))
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id")
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), wav_udf("doc_id").alias("payload")
+    )
+    out = audio_features(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
 def langid_short_texts(spark, sf_dir):
     """Short-form (title/query-length) language ID: the 306-fragment
     stratum (datagen/realtext.short_texts — 5-15 words, all 102
@@ -1455,7 +1493,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
         "family_breakdown": family_breakdown,
-        "docs_matching_regex": docs_matching_regex,
         "lang_median_chars": lang_median_chars,
         "exact_dedup_documents": exact_dedup_documents,
         "neardup_jaccard_pairs": neardup_jaccard_pairs,
@@ -1480,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": decontaminate_documents,
         "decontaminate_spans": decontaminate_spans,
         "decontaminate_rewrite_docs": decontaminate_rewrite_docs,
+        "audio_media_features": audio_media_features,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
         "embedding_label_centroids": embedding_label_centroids,
@@ -1489,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotation tail (past the driver's 50-entry window this
         # round; driver-green r01-r04, specs untouched in r05, still
         # oracled in-repo every pytest run; promote back in r06) ---
+        "docs_matching_regex": docs_matching_regex,
         "lang_chars_zscore": lang_chars_zscore,
         "regex_marker_counts": regex_marker_counts,
         "source_lang_matrix": source_lang_matrix,
@@ -2104,6 +2143,11 @@ def oracle_sql() -> dict[str, str]:
         "langid_unresolved": """
             SELECT doc_id, lang_pred, strategy
             FROM read_parquet('/root/repo/data/expected_sf0.01/langid_unresolved.parquet')
+        """,
+        "audio_media_features": """
+            SELECT doc_id, sample_rate, n_samples, duration_ms,
+                   rms, zero_cross_rate, peak
+            FROM read_parquet('/root/repo/data/expected_sf0.01/audio_media_features.parquet')
         """,
         "langid_short_texts": """
             SELECT doc_id, lang, lang_pred, correct

@@ -135,6 +135,40 @@ def expected_langid_short_texts() -> pd.DataFrame:
     ).astype({"doc_id": "int64"})
 
 
+def expected_audio_features() -> pd.DataFrame:
+    """Audio features recomputed from the RAW integer samples (no WAV
+    container): the Spark query must produce identical numbers after
+    its RIFF encode -> chunked decode round-trip."""
+    from hyperpolyglot_spark.datagen.audio import RATE, synth_samples
+
+    out = []
+    for doc_id in range(50):
+        s = synth_samples(doc_id).astype(np.float64) / 32768.0
+        n = len(s)
+        zc = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1])))
+        out.append(
+            (
+                doc_id,
+                RATE,
+                n,
+                int(round(1000.0 * n / RATE)),
+                round(float(np.sqrt(np.mean(s**2))), 6),
+                round(zc, 6),
+                round(float(np.abs(s).max()), 6),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "doc_id", "sample_rate", "n_samples", "duration_ms",
+            "rms", "zero_cross_rate", "peak",
+        ],
+    ).astype(
+        {"doc_id": "int64", "sample_rate": "int32", "n_samples": "int64",
+         "duration_ms": "int64"}
+    )
+
+
 def expected_unresolved_disposition() -> pd.DataFrame:
     """Pure-python spec of the unresolved-policy query: classify with
     the gate, keep/drop ladder (no url -> vendor rule can't fire),
@@ -346,6 +380,7 @@ def main():
         "langid_unresolved": expected_langid_unresolved(),
         "unresolved_disposition": expected_unresolved_disposition(),
         "langid_short_texts": expected_langid_short_texts(),
+        "audio_media_features": expected_audio_features(),
         "embedding_ann_ivf": expected_ivf_topk(),
         "embedding_knn_blocked": expected_knn_blocked(),
         "doc_token_nb": expected_token_nb(),
@@ -368,6 +403,7 @@ def main():
         spark, "unresolved_disposition", tables["unresolved_disposition"]
     )
     crosscheck(spark, "langid_short_texts", tables["langid_short_texts"])
+    crosscheck(spark, "audio_media_features", tables["audio_media_features"])
     crosscheck(
         spark,
         "embedding_ann_ivf",
