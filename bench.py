@@ -58,6 +58,9 @@ HEADLINE = [
     # round-5 operators
     "unresolved_disposition",
     "decontaminate_spans",
+    "decontaminate_rewrite_docs",
+    "langid_short_texts",
+    "audio_media_features",
 ]
 
 
