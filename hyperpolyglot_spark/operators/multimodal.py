@@ -490,14 +490,35 @@ def media_features(
 # audio library and stay behind the declared fake fallback.
 # ----------------------------------------------------------------------
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """ITU-T G.711 decode tables (256 levels each), built from the
+    spec's segment/mantissa expansion — µ-law: complement the byte,
+    magnitude = ((mantissa·8 + 0x84) << segment) − 0x84, sign bit set
+    ⇒ negative; A-law: xor 0x55, segment 0 ⇒ mantissa·16 + 8 else
+    (mantissa·16 + 0x108) << (segment − 1), sign bit set ⇒ positive.
+    Normalized to [-1, 1] against the 16-bit full scale."""
+    v = ~np.arange(256) & 0xFF
+    mag = ((((v & 0x0F) << 3) + 0x84) << ((v >> 4) & 7)) - 0x84
+    ulaw = np.where(v & 0x80, -mag, mag) / 32768.0
+    a = np.arange(256) ^ 0x55
+    seg, man = (a >> 4) & 7, (a & 0x0F) << 4
+    mag = np.where(seg == 0, man + 8, (man + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, mag, -mag) / 32768.0
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def decode_audio(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int]:
     """(samples float64 in [-1, 1] shaped (n, channels), sample_rate).
 
-    REAL decode for RIFF/WAVE PCM (8-bit unsigned, 16/32-bit signed)
-    and IEEE-float WAV — a chunked parse, so extra chunks (LIST, fact,
-    cue) are skipped correctly. Other containers/codecs raise
-    NotImplementedError unless fake=True (deterministic hash-derived
-    samples, same shape contract)."""
+    REAL decode for RIFF/WAVE PCM (8-bit unsigned, 16/32-bit signed),
+    IEEE-float WAV, and G.711 µ-law/A-law (format tags 7/6, table
+    expansion per the ITU-T spec) — a chunked parse, so extra chunks
+    (LIST, fact, cue) are skipped correctly. Other containers/codecs
+    raise NotImplementedError unless fake=True (deterministic
+    hash-derived samples, same shape contract)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i = 12
         fmt = None
@@ -522,6 +543,9 @@ def decode_audio(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int]:
                     a = np.frombuffer(body, "<i4").astype(np.float64) / 2147483648.0
                 elif tag == 3 and bits == 32:
                     a = np.frombuffer(body, "<f4").astype(np.float64)
+                elif tag in (6, 7) and bits == 8:  # G.711 A-law / µ-law
+                    table = _ULAW_TABLE if tag == 7 else _ALAW_TABLE
+                    a = table[np.frombuffer(body, np.uint8)]
                 else:
                     raise NotImplementedError(
                         f"WAV format tag={tag} bits={bits} not supported"
@@ -533,9 +557,9 @@ def decode_audio(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int]:
         raise ValueError("WAV without a data chunk")
     if not fake:
         raise NotImplementedError(
-            "native decode covers RIFF/WAVE PCM + IEEE-float; "
-            "compressed codecs need an audio library (fake=True for "
-            "the deterministic stub)"
+            "native decode covers RIFF/WAVE PCM + IEEE-float + G.711; "
+            "perceptual codecs (mp3/aac/opus) need an audio library "
+            "(fake=True for the deterministic stub)"
         )
     d = hashlib.blake2b(payload, digest_size=64).digest()
     a = (np.frombuffer(d, np.uint8).astype(np.float64) - 128.0) / 128.0

@@ -1042,6 +1042,20 @@ def _make_wav(samples, rate, bits=16, tag=1, extra_chunk=False):
         body = (np.clip(samples, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
     elif tag == 3 and bits == 32:
         body = samples.astype("<f4").tobytes()
+    elif tag in (6, 7) and bits == 8:
+        # G.711 encode-by-nearest-level against the 256-entry decode
+        # table (the decoder's levels ARE the codec's quantizer, so
+        # nearest-level is the optimal from-spec encoder)
+        from hyperpolyglot_spark.operators.multimodal import (
+            _ALAW_TABLE,
+            _ULAW_TABLE,
+        )
+
+        table = _ULAW_TABLE if tag == 7 else _ALAW_TABLE
+        flat = np.clip(samples, -1, 1).ravel()
+        body = np.abs(flat[:, None] - table[None, :]).argmin(axis=1).astype(
+            np.uint8
+        ).tobytes()
     else:
         raise ValueError
     fmt = struct.pack(
@@ -1082,6 +1096,44 @@ def test_wav_decode_roundtrip():
         decode_audio(b"\xff\xfb\x90\x00 not really mp3")
     fa, fr = decode_audio(b"\xff\xfb\x90\x00 not really mp3", fake=True)
     assert fr == 16000 and fa.shape[1] == 1
+
+
+def test_g711_decode():
+    """G.711 µ-law/A-law: known spec values pin table correctness
+    independently of the round-trip (values from the ITU-T G.711
+    expansion, 16-bit full scale)."""
+    from hyperpolyglot_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_audio,
+    )
+
+    # µ-law: 0xFF is zero, 0x7F is negative zero, 0x00 is -32124
+    assert _ULAW_TABLE[0xFF] == 0.0 and _ULAW_TABLE[0x7F] == 0.0
+    assert _ULAW_TABLE[0x00] * 32768 == -32124
+    assert _ULAW_TABLE[0x80] * 32768 == 32124
+    # A-law: 0x55 is -8, 0xD5 is +8, 0x2A is -32256, 0xAA is +32256
+    assert _ALAW_TABLE[0x55] * 32768 == -8
+    assert _ALAW_TABLE[0xD5] * 32768 == 8
+    assert _ALAW_TABLE[0x2A] * 32768 == -32256
+    assert _ALAW_TABLE[0xAA] * 32768 == 32256
+    # logarithmic quantization: max step at full scale is ~1024 (µ)
+    # / ~2048 (A) of 32768 -> round-trip error bounds
+    t = np.arange(600) / 8000.0
+    wave = np.stack(
+        [np.sin(2 * np.pi * 440 * t), 0.3 * np.sin(2 * np.pi * 180 * t)],
+        axis=1,
+    )
+    au, ru = decode_audio(_make_wav(wave, 8000, bits=8, tag=7))
+    assert ru == 8000 and au.shape == (600, 2)
+    assert np.abs(au - wave).max() < 1024 / 32768
+    aa, _ = decode_audio(_make_wav(wave, 8000, bits=8, tag=6, extra_chunk=True))
+    assert np.abs(aa - wave).max() < 2048 / 32768
+    # encode-by-nearest over the table's own levels is byte-exact
+    for table, tag in ((_ULAW_TABLE, 7), (_ALAW_TABLE, 6)):
+        levels = np.sort(np.unique(table))[:, None]
+        dec, _ = decode_audio(_make_wav(levels, 8000, bits=8, tag=tag))
+        assert np.array_equal(dec, levels)
 
 
 def test_audio_features_distributed(spark):
