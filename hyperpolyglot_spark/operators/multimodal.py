@@ -58,10 +58,12 @@ def _decode_ppm(b: bytes) -> np.ndarray:
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = (int(t) for t in tokens)
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm not supported")
     ch = 3 if b[:2] == b"P6" else 1
-    arr = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=i)
+    if maxval > 255:  # 2-byte big-endian samples, scaled to 8-bit
+        arr = np.frombuffer(b, dtype=">u2", count=w * h * ch, offset=i)
+        arr = (arr.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+    else:
+        arr = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=i)
     return arr.reshape(h, w, ch).copy()
 
 
@@ -108,10 +110,12 @@ def _unfilter_png(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def _decode_png(b: bytes) -> np.ndarray:
-    """Pure numpy+zlib PNG decode: 8-bit greyscale/RGB(+alpha) and
+    """Pure numpy+zlib PNG decode: 8/16-bit greyscale/RGB(+alpha) and
     8-bit palette (PLTE index lookup), non-interlaced (the shapes a
-    training-data pipeline normalizes to anyway). 16-bit and
-    sub-byte-depth palette stay NotImplementedError."""
+    training-data pipeline normalizes to anyway). 16-bit samples are
+    decoded at full depth (filters operate on bytes, bpp doubles) and
+    downscaled to the high byte. Sub-byte depths and interlacing stay
+    NotImplementedError."""
     import zlib
 
     if b[:8] != _PNG_SIG:
@@ -128,8 +132,10 @@ def _decode_png(b: bytes) -> np.ndarray:
                 int(x) for x in np.frombuffer(data, dtype=">u4", count=2)
             )
             depth, color, _, _, interlace = data[8:13]
-            if depth != 8:
-                raise NotImplementedError("only 8-bit PNG supported")
+            if depth not in (8, 16) or (depth == 16 and color == 3):
+                raise NotImplementedError(
+                    f"PNG depth {depth} color {color} not supported"
+                )
             if color not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG color type {color} not supported")
             if interlace:
@@ -144,10 +150,16 @@ def _decode_png(b: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("truncated PNG")
     ch = _PNG_CHANNELS[color]
+    bpp = ch * depth // 8  # filter unit is bytes-per-pixel (spec 9.2)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (w * ch + 1):
+    if raw.size != h * (w * bpp + 1):
         raise ValueError("PNG pixel payload size mismatch")
-    px = _unfilter_png(raw, h, w * ch, ch).reshape(h, w, ch)
+    px = _unfilter_png(raw, h, w * bpp, bpp)
+    if depth == 16:  # big-endian u2 samples -> high byte
+        px = np.ascontiguousarray(px).view(">u2").reshape(h, w, ch)
+        px = (px >> 8).astype(np.uint8)
+    else:
+        px = px.reshape(h, w, ch)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -416,12 +428,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to HxWxC uint8.
 
     REAL decode for the public stdlib-feasible formats: PNG (zlib
-    inflate + numpy unfilter; 8-bit grey/RGB/RGBA, non-interlaced),
-    binary netpbm (P6/P5), and baseline/extended-sequential Huffman
-    JPEG (pure-numpy T.81 decode: huffman entropy decode, dequantize,
-    IDCT, chroma upsample, YCbCr->RGB; restart markers supported).
-    The remaining formats (progressive/arithmetic JPEG, 16-bit or
-    palette PNG, webp/avif/...) genuinely require an imaging library
+    inflate + numpy unfilter; 8/16-bit grey/RGB/RGBA and 8-bit
+    palette, non-interlaced), binary netpbm (P6/P5, 8/16-bit), and
+    baseline/extended-sequential Huffman JPEG (pure-numpy T.81 decode:
+    huffman entropy decode, dequantize, IDCT, chroma upsample,
+    YCbCr->RGB; restart markers supported). The remaining formats
+    (progressive/arithmetic JPEG, interlaced or sub-byte-depth PNG,
+    webp/avif/...) genuinely require an imaging library
     this container doesn't ship and raise NotImplementedError unless
     fake=True, which returns a deterministic pseudo-image derived from
     the payload hash (same shape contract) so the full distributed

@@ -478,22 +478,29 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def _make_png(pixels, color_type, filters, plte=None):
+def _make_png(pixels, color_type, filters, plte=None, depth=8):
     """Hand-rolled PNG encoder (spec formulas, independent of the
     decoder): filter each scanline with the REQUESTED filter type so
     the test exercises every unfilter branch. ``plte`` (Nx3 uint8)
     emits a PLTE chunk for color type 3 (pixels are then (h,w,1)
-    palette indices)."""
+    palette indices). depth=16 serializes big-endian u2 samples and
+    filters at the doubled bytes-per-pixel, per spec 9.2."""
     import struct, zlib as z
 
     import numpy as np
 
-    arr = np.asarray(pixels, dtype=np.uint8)
-    h, w, ch = arr.shape
+    arr = np.asarray(pixels, dtype=np.uint16 if depth == 16 else np.uint8)
+    h, w, nch = arr.shape
+    ch = nch * depth // 8  # filter unit: bytes per pixel
     raw = bytearray()
     prev = np.zeros(w * ch, dtype=np.int64)
     for y in range(h):
-        row = arr[y].reshape(-1).astype(np.int64)
+        if depth == 16:
+            row = np.frombuffer(
+                arr[y].astype(">u2").tobytes(), np.uint8
+            ).astype(np.int64)
+        else:
+            row = arr[y].reshape(-1).astype(np.int64)
         ft = filters[y % len(filters)]
         raw.append(ft)
         if ft == 0:
@@ -518,7 +525,7 @@ def _make_png(pixels, color_type, filters, plte=None):
                 out[x] = (row[x] - pr) % 256
         raw.extend(int(v) for v in out)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     plte_chunk = (
         _png_chunk(b"PLTE", np.asarray(plte, np.uint8).tobytes())
         if plte is not None
@@ -542,6 +549,36 @@ def test_decode_png_all_filters():
         b = _make_png(px, color_type=2, filters=filters)
         got = decode_image(b)
         assert got.shape == (5, 4, 3) and (got == px).all(), filters
+
+
+def test_decode_png_16bit():
+    """16-bit PNG: filters run at bpp=2*ch byte granularity; decode
+    yields the high byte (spec sample-depth rescale). All filter
+    types exercised; grey and RGB."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    px16 = rng.randint(0, 65536, size=(6, 5, 3)).astype(np.uint16)
+    for filters in ([0], [1], [2], [3], [4], [4, 3, 2, 1, 0]):
+        b = _make_png(px16, color_type=2, filters=filters, depth=16)
+        got = decode_image(b)
+        assert got.shape == (6, 5, 3), filters
+        assert (got == (px16 >> 8).astype(np.uint8)).all(), filters
+    grey16 = rng.randint(0, 65536, size=(4, 7, 1)).astype(np.uint16)
+    g = decode_image(_make_png(grey16, color_type=0, filters=[1, 4], depth=16))
+    assert (g == (grey16 >> 8).astype(np.uint8)).all()
+
+
+def test_decode_ppm_16bit():
+    """16-bit netpbm: big-endian 2-byte samples scaled by maxval."""
+    import numpy as np
+
+    px16 = np.arange(24, dtype=np.uint16).reshape(2, 4, 3) * 2500
+    body = px16.astype(">u2").tobytes()
+    b = b"P6\n4 2\n65535\n" + body
+    got = decode_image(b)
+    exp = (px16.astype(np.uint32) * 255 // 65535).astype(np.uint8)
+    assert got.shape == (2, 4, 3) and (got == exp).all()
 
 
 def test_decode_png_grey_and_rgba():
