@@ -37,6 +37,12 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # PNG color type -> channel count (3 = palette: one index byte per
 # pixel, expanded to RGB via the PLTE chunk after unfiltering)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid (spec 8.2): (x_start, y_start, x_step, y_step);
+# each pass is an independently-filtered sub-image
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _decode_ppm(b: bytes) -> np.ndarray:
@@ -111,10 +117,11 @@ def _unfilter_png(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 def _decode_png(b: bytes) -> np.ndarray:
     """Pure numpy+zlib PNG decode: 8/16-bit greyscale/RGB(+alpha) and
-    8-bit palette (PLTE index lookup), non-interlaced (the shapes a
-    training-data pipeline normalizes to anyway). 16-bit samples are
-    decoded at full depth (filters operate on bytes, bpp doubles) and
-    downscaled to the high byte. Sub-byte depths and interlacing stay
+    8-bit palette (PLTE index lookup), both progressive-scan and Adam7
+    interlaced (each of the 7 passes is an independently-filtered
+    sub-image scattered into the pixel grid, spec 8.2). 16-bit samples
+    are decoded at full depth (filters operate on bytes, bpp doubles)
+    and downscaled to the high byte. Sub-byte depths stay
     NotImplementedError."""
     import zlib
 
@@ -138,8 +145,8 @@ def _decode_png(b: bytes) -> np.ndarray:
                 )
             if color not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG color type {color} not supported")
-            if interlace:
-                raise NotImplementedError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -152,9 +159,25 @@ def _decode_png(b: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS[color]
     bpp = ch * depth // 8  # filter unit is bytes-per-pixel (spec 9.2)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (w * bpp + 1):
-        raise ValueError("PNG pixel payload size mismatch")
-    px = _unfilter_png(raw, h, w * bpp, bpp)
+    if interlace:  # Adam7: 7 independently-filtered sub-images
+        grid = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:  # empty pass emits no bytes at all
+                continue
+            n = hp * (wp * bpp + 1)
+            sub = _unfilter_png(raw[off : off + n], hp, wp * bpp, bpp)
+            grid[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+            off += n
+        if off != raw.size:
+            raise ValueError("PNG pixel payload size mismatch")
+        px = grid.reshape(h, w * bpp)
+    else:
+        if raw.size != h * (w * bpp + 1):
+            raise ValueError("PNG pixel payload size mismatch")
+        px = _unfilter_png(raw, h, w * bpp, bpp)
     if depth == 16:  # big-endian u2 samples -> high byte
         px = np.ascontiguousarray(px).view(">u2").reshape(h, w, ch)
         px = (px >> 8).astype(np.uint8)
@@ -429,12 +452,12 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     REAL decode for the public stdlib-feasible formats: PNG (zlib
     inflate + numpy unfilter; 8/16-bit grey/RGB/RGBA and 8-bit
-    palette, non-interlaced), binary netpbm (P6/P5, 8/16-bit), and
-    baseline/extended-sequential Huffman JPEG (pure-numpy T.81 decode:
-    huffman entropy decode, dequantize, IDCT, chroma upsample,
-    YCbCr->RGB; restart markers supported). The remaining formats
-    (progressive/arithmetic JPEG, interlaced or sub-byte-depth PNG,
-    webp/avif/...) genuinely require an imaging library
+    palette, progressive-scan or Adam7 interlaced), binary netpbm
+    (P6/P5, 8/16-bit), and baseline/extended-sequential Huffman JPEG
+    (pure-numpy T.81 decode: huffman entropy decode, dequantize, IDCT,
+    chroma upsample, YCbCr->RGB; restart markers supported). The
+    remaining formats (progressive/arithmetic JPEG, sub-byte-depth
+    PNG, webp/avif/...) genuinely require an imaging library
     this container doesn't ship and raise NotImplementedError unless
     fake=True, which returns a deterministic pseudo-image derived from
     the payload hash (same shape contract) so the full distributed

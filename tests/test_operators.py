@@ -478,29 +478,16 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def _make_png(pixels, color_type, filters, plte=None, depth=8):
-    """Hand-rolled PNG encoder (spec formulas, independent of the
-    decoder): filter each scanline with the REQUESTED filter type so
-    the test exercises every unfilter branch. ``plte`` (Nx3 uint8)
-    emits a PLTE chunk for color type 3 (pixels are then (h,w,1)
-    palette indices). depth=16 serializes big-endian u2 samples and
-    filters at the doubled bytes-per-pixel, per spec 9.2."""
-    import struct, zlib as z
-
+def _filter_sub_image(rows, ch, filters):
+    """Filter one (sub-)image's byte rows (spec formulas): rows is
+    (h, stride) int64, ch is bytes-per-pixel; returns the filtered
+    stream including the per-row filter-type byte."""
     import numpy as np
 
-    arr = np.asarray(pixels, dtype=np.uint16 if depth == 16 else np.uint8)
-    h, w, nch = arr.shape
-    ch = nch * depth // 8  # filter unit: bytes per pixel
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int64)
-    for y in range(h):
-        if depth == 16:
-            row = np.frombuffer(
-                arr[y].astype(">u2").tobytes(), np.uint8
-            ).astype(np.int64)
-        else:
-            row = arr[y].reshape(-1).astype(np.int64)
+    prev = np.zeros(rows.shape[1], dtype=np.int64)
+    for y in range(rows.shape[0]):
+        row = rows[y]
         ft = filters[y % len(filters)]
         raw.append(ft)
         if ft == 0:
@@ -514,8 +501,8 @@ def _make_png(pixels, color_type, filters, plte=None, depth=8):
             a = np.concatenate([np.zeros(ch, np.int64), row[:-ch]])
             out = (row - (a + prev) // 2) % 256
         else:  # paeth
-            out = np.zeros(w * ch, np.int64)
-            for x in range(w * ch):
+            out = np.zeros(rows.shape[1], np.int64)
+            for x in range(rows.shape[1]):
                 a = row[x - ch] if x >= ch else 0
                 c = prev[x - ch] if x >= ch else 0
                 b = prev[x]
@@ -525,7 +512,46 @@ def _make_png(pixels, color_type, filters, plte=None, depth=8):
                 out[x] = (row[x] - pr) % 256
         raw.extend(int(v) for v in out)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    return raw
+
+
+def _make_png(pixels, color_type, filters, plte=None, depth=8, interlace=0):
+    """Hand-rolled PNG encoder (spec formulas, independent of the
+    decoder): filter each scanline with the REQUESTED filter type so
+    the test exercises every unfilter branch. ``plte`` (Nx3 uint8)
+    emits a PLTE chunk for color type 3 (pixels are then (h,w,1)
+    palette indices). depth=16 serializes big-endian u2 samples and
+    filters at the doubled bytes-per-pixel, per spec 9.2.
+    interlace=1 emits Adam7: each pass extracted by the spec's pass
+    grid and filtered as its own sub-image."""
+    import struct, zlib as z
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint16 if depth == 16 else np.uint8)
+    h, w, nch = arr.shape
+    ch = nch * depth // 8  # filter unit: bytes per pixel
+
+    def byte_rows(sub):  # (hp, wp, nch) samples -> (hp, wp*ch) bytes
+        if depth == 16:
+            flat = np.frombuffer(sub.astype(">u2").tobytes(), np.uint8)
+        else:
+            flat = sub.reshape(-1)
+        return flat.astype(np.int64).reshape(sub.shape[0], -1)
+
+    if interlace:
+        passes = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size:
+                raw.extend(_filter_sub_image(byte_rows(sub), ch, filters))
+    else:
+        raw = _filter_sub_image(byte_rows(arr), ch, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     plte_chunk = (
         _png_chunk(b"PLTE", np.asarray(plte, np.uint8).tobytes())
         if plte is not None
@@ -567,6 +593,34 @@ def test_decode_png_16bit():
     grey16 = rng.randint(0, 65536, size=(4, 7, 1)).astype(np.uint16)
     g = decode_image(_make_png(grey16, color_type=0, filters=[1, 4], depth=16))
     assert (g == (grey16 >> 8).astype(np.uint8)).all()
+
+
+def test_decode_png_adam7():
+    """Adam7 interlaced PNG: pass extraction/scatter round-trips for
+    sizes that leave some passes empty (w or h < pass origin), all
+    filter types, 8- and 16-bit, palette."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    for (h, w) in ((1, 1), (2, 3), (5, 4), (8, 8), (13, 11)):
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for filters in ([0], [2], [4], [0, 1, 2, 3, 4]):
+            b = _make_png(px, color_type=2, filters=filters, interlace=1)
+            got = decode_image(b)
+            assert got.shape == (h, w, 3) and (got == px).all(), (h, w, filters)
+    # 16-bit interlaced
+    px16 = rng.randint(0, 65536, size=(9, 6, 1)).astype(np.uint16)
+    g = decode_image(
+        _make_png(px16, color_type=0, filters=[3, 4, 1], depth=16, interlace=1)
+    )
+    assert (g == (px16 >> 8).astype(np.uint8)).all()
+    # palette interlaced
+    plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(7, 5, 1)).astype(np.uint8)
+    p = decode_image(
+        _make_png(idx, color_type=3, filters=[1, 2], plte=plte, interlace=1)
+    )
+    assert p.shape == (7, 5, 3) and (p == plte[idx[..., 0]]).all()
 
 
 def test_decode_ppm_16bit():
