@@ -26,6 +26,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# A hextet (1-4 hex chars) that contains at least one DIGIT — used by
+# the compressed-ipv6 branches so a bare all-letter token before '::'
+# ('DB::Fetch', 'a::b in perl', 'dead::', 'fe::') is never scrubbed:
+# those are code identifiers far more often than addresses. Spelled as
+# an enumeration (digit at position 0/1/2/3) because the table must
+# stay lookaround-free for RE2/DuckDB.
+_DIGIT_HEXTET = (
+    "(?:[0-9][0-9A-Fa-f]{0,3}|[A-Fa-f][0-9][0-9A-Fa-f]{0,2}"
+    "|[A-Fa-f]{2}[0-9][0-9A-Fa-f]?|[A-Fa-f]{3}[0-9])"
+)
+_HEXTET = "[0-9A-Fa-f]{1,4}"
+# optional right side after '::' (trailing '::' is legal, e.g. 'fe80::')
+_IP6_TAIL = r"(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}\b)?"
+
 # (name, pattern, replacement) — ordered. Order is spec: iban before
 # credit_card (a card-shaped digit span inside an IBAN must not be
 # half-eaten), ssn before phone, ipv6 before ipv4, shape rules before
@@ -47,17 +61,24 @@ SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
     # (020) 7946 0958
     ("phone_paren", r"\(\d{2,4}\)[ .-]?\d{3,4}[ .-]\d{3,4}\b", "<PHONE>"),
     # ipv6: full/partial form, then the common :: compressions —
-    # 'a::b'/'2001:db8::1'/'fe80::8a2e:370:7334', trailing 'fe80::',
-    # leading '::1'. \b placement: a trailing '::' ends at a non-word
-    # char (no \b possible there), and a LEADING '::' cannot take \b
-    # either, hence the separate un-anchored-left branch; leftmost-
-    # match semantics keep 'a::1' on the hextet-leading branch.
+    # '2001:db8::1', 'fe80::8a2e:370:7334', trailing 'fe80::', leading
+    # '::1'. Compressed branches require >=2 leading hextet groups OR a
+    # digit in the leading/first hextet (r6 ADVICE): a lone all-letter
+    # hex-looking token around '::' is code ('DB::Fetch', 'a::b',
+    # 'dead::'), so those — and the rare all-letter addresses like
+    # 'a::b' or '::beef' — are deliberately NOT scrubbed (precision
+    # over recall on code-bearing web text). \b placement: a trailing
+    # '::' ends at a non-word char (no \b possible there), and a
+    # LEADING '::' cannot take \b either, hence the un-anchored-left
+    # branch; inside it the multi-group alternative precedes the
+    # single-digit-hextet one so leftmost-FIRST matching still takes
+    # the longest address ('::10ab:cd' scrubs whole, not '::10ab').
     (
         "ipv6",
-        r"\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\b"
-        r"|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:"
-        r"(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}\b)?"
-        r"|::[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,6}\b",
+        rf"\b(?:{_HEXTET}:){{4,7}}{_HEXTET}\b"
+        rf"|\b(?:{_HEXTET}:){{2,6}}:{_IP6_TAIL}"
+        rf"|\b{_DIGIT_HEXTET}::{_IP6_TAIL}"
+        rf"|::(?:{_HEXTET}(?::{_HEXTET}){{1,6}}\b|{_DIGIT_HEXTET}\b)",
         "<IP6>",
     ),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),

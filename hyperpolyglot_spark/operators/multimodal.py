@@ -1,12 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step is STUBBED (this container ships no image/audio libs):
-``decode_image`` raises NotImplementedError unless a deterministic fake
-decoder is requested. Everything Spark-side is real and tested — the
-schema, the mapInPandas batch shape, the partition-friendly layout, and
-the metadata/feature extraction — so swapping in PIL/torchaudio later
-is a one-function change inside the UDF.
+The decode step is REAL for the formats a pure-numpy + stdlib decoder
+can honestly cover: PNG (8/16-bit grey/RGB/RGBA, palette, Adam7
+interlace), baseline/extended-sequential Huffman JPEG (T.81: any
+sampling factors, restart markers), binary netpbm (P5/P6, 8/16-bit),
+RIFF/WAVE audio (PCM 8/16/24/32, IEEE float, G.711 µ-law/A-law), and
+MJPEG-style frame containers built from those. Only genuinely
+library-bound codecs (progressive/arithmetic JPEG, webp, sub-byte PNG,
+mp3/aac/opus) stay behind a declared deterministic fake fallback
+(``fake=True``) or a documented NotImplementedError. Malformed
+payloads of a *supported* format raise ValueError (the module error
+contract); unsupported-format payloads raise NotImplementedError.
+Everything Spark-side — the schema, the mapInPandas batch shape, the
+partition-friendly layout, and the metadata/feature extraction — is
+real and tested, so swapping in PIL/torchaudio for the faked codecs is
+a one-function change inside the UDF.
 
 Layout stance for 100 TB of media: binary payloads live in their own
 column so Parquet column pruning means metadata-only queries never read
@@ -186,7 +195,10 @@ def _decode_png(b: bytes) -> np.ndarray:
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
-        return plte[px[..., 0]].copy()  # (h, w) indices -> (h, w, 3)
+        idx = px[..., 0]
+        if idx.size and int(idx.max()) >= len(plte):  # corrupt index
+            raise ValueError("palette PNG index beyond PLTE length")
+        return plte[idx].copy()  # (h, w) indices -> (h, w, 3)
     return px.copy()
 
 
@@ -359,6 +371,9 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
         elif m == 0xDD:  # DRI
             (restart_interval,) = (int(x) for x in np.frombuffer(seg, ">u2", 1))
         elif m == 0xDA:  # SOS
+            if comps is None:  # malformed stream must fail with the
+                # module's documented ValueError, not NameError
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = [
                 (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
@@ -654,8 +669,7 @@ def audio_features(
 
 def resize_image(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """Nearest-neighbor resize of an HxWxC array — pure numpy index
-    math (REAL, not stubbed: only the payload->array decode needs an
-    external library). Matches the standard floor-scaling grid."""
+    math. Matches the standard floor-scaling grid."""
     ih, iw = img.shape[0], img.shape[1]
     rows = np.arange(h) * ih // h
     cols = np.arange(w) * iw // w
@@ -704,8 +718,9 @@ def frame_sample_plan(
     id_col: str = "media_id",
 ) -> DataFrame:
     """Video frame-sampling plan: one row per (media, frame_ts) —
-    JVM-side sequence/explode, no Python. The decode of each frame is
-    the same stubbed boundary as decode_image."""
+    JVM-side sequence/explode, no Python. The decode of each frame goes
+    through the same decode_image boundary (native for PNG/JPEG/netpbm,
+    declared fake for library-bound codecs)."""
     return df.select(
         id_col,
         F.explode(

@@ -184,3 +184,26 @@ def run_with_resume(
         )
         lineage.write.mode("append").parquet(manifest_path)
     return len(groups)
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Canonical audit read of the lineage manifest. The manifest is
+    append-only across engine versions, so a resumed output dir can
+    legitimately hold files with different schemas (e.g. pre-r5 rows
+    lack the unresolved_* columns). A plain ``spark.read.parquet``
+    samples ONE file's footer for the schema — which columns you see
+    would then depend on which file Spark picked (r6 ADVICE). This
+    helper always merges schemas (union of all footers) and fills the
+    numeric audit columns with 0 for rows written before the column
+    existed, so audits over mixed-version dirs are deterministic."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_dir, MANIFEST_DIR)
+    )
+    fillable = [
+        c
+        for c in ("docs", "kept", "scrub_email", "scrub_toxicity")
+        + _DROP_COLS
+        + _UNRESOLVED_COLS
+        if c in df.columns
+    ]
+    return df.na.fill(0, fillable)

@@ -1272,3 +1272,26 @@ def test_decode_png_palette():
     got = decode_image(b)
     assert got.shape == (6, 5, 3)
     assert (got == plte[idx[..., 0]]).all()
+
+
+def test_malformed_media_raises_valueerror():
+    """Corrupt payloads of a SUPPORTED format must fail with the
+    module's documented ValueError — not NameError/KeyError/IndexError
+    leaking out of the decode internals (r6 ADVICE): a JPEG whose SOS
+    precedes SOF, and a palette PNG whose indices run past PLTE."""
+    import numpy as np
+
+    img = np.full((8, 8, 1), 128, np.uint8)
+    b = _encode_jpeg(img)
+    # move the SOF0 segment after SOS by renaming SOF0 -> COM (0xFE):
+    # the scan then hits SOS with no component metadata
+    bad = b.replace(b"\xff\xc0", b"\xff\xfe", 1)
+    with pytest.raises(ValueError, match="SOS before SOF"):
+        decode_image(bad)
+
+    # palette PNG: 4-entry PLTE but an index byte of 9
+    plte = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    idx = np.array([[0, 1], [9, 2]], np.uint8)[..., None]
+    b = _make_png(idx, color_type=3, filters=[0, 0], plte=plte)
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_image(b)

@@ -88,3 +88,42 @@ def test_resume_converges_with_empty_buckets(spark, tmp_path):
     assert len(completed_buckets(spark, out)) == 64
     # converged: nothing left on rerun
     assert run_with_resume(spark, pages, out, n_buckets=64) == 0
+
+
+def test_read_manifest_mixed_schema_dir(spark, tmp_path):
+    """A resumed output dir can hold manifest files written by engine
+    versions with different column sets (pre-r5 rows lack the
+    unresolved_* audit columns). read_manifest must surface the UNION
+    of columns with deterministic 0s for the missing values — never a
+    schema that depends on which file's footer Spark sampled
+    (r6 ADVICE)."""
+    from hyperpolyglot_spark.plans.resume import (
+        _UNRESOLVED_COLS,
+        read_manifest,
+    )
+
+    out = str(tmp_path / "mixed")
+    path = f"{out}/_manifest"
+    # "old engine" rows: no unresolved_* columns
+    spark.createDataFrame(
+        [(0, 10, 8, 0, 0)],
+        "bucket int, docs long, kept long, scrub_email long,"
+        " scrub_toxicity long",
+    ).write.mode("append").parquet(path)
+    # "new engine" rows: with the audit columns
+    spark.createDataFrame(
+        [(1, 12, 9, 1, 0, 0, 2, 1)],
+        "bucket int, docs long, kept long, scrub_email long,"
+        " scrub_toxicity long, unresolved_kept long,"
+        " unresolved_quarantined long, unresolved_dropped long",
+    ).write.mode("append").parquet(path)
+
+    m = read_manifest(spark, out)
+    for c in _UNRESOLVED_COLS:
+        assert c in m.columns
+    rows = {r["bucket"]: r for r in m.collect()}
+    assert len(rows) == 2
+    # old row's missing audit columns read as 0, not null
+    assert all(rows[0][c] == 0 for c in _UNRESOLVED_COLS)
+    assert rows[1]["unresolved_quarantined"] == 2
+    assert rows[1]["unresolved_dropped"] == 1

@@ -278,6 +278,17 @@ def test_scrub_broadened_patterns():
     # c++ scope operators / short non-hex words don't trip it
     s, c = py_scrub("call std::sort or boost::asio now")
     assert c["ipv6"] == 0 and "<IP6>" not in s
+    # r6 ADVICE: hex-looking identifiers around '::' are code, not
+    # addresses — compressed branches need >=2 hextet groups or a
+    # digit in the leading/first hextet
+    for t in ("the DB::Fetch call", "a::b in perl", "use dead:: now",
+              "fe:: token", "Acc::count", "mod a::b::c here"):
+        s, c = py_scrub(t)
+        assert s == t and c["ipv6"] == 0, (t, s)
+    s, c = py_scrub("route ::dead:beef added")  # 2 groups after ::
+    assert s == "route <IP6> added" and c["ipv6"] == 1
+    s, c = py_scrub("cell ::10ab:cd here")  # longest match, not ::10ab
+    assert s == "cell <IP6> here" and c["ipv6"] == 1
     s, c = py_scrub("ship to 742 Evergreen Terrace and 12 Baker Street")
     assert s.count("<ADDR>") == 2 and c["address"] == 2
     s, c = py_scrub("that Clanker and its meatbags, I will airlock you")
