@@ -1096,7 +1096,15 @@ def unresolved_disposition(spark, sf_dir):
         "doc_id long, text string",
     )
     clf = make_classify_udf(spark, None, unresolved=True)
-    df = docs.unionByName(fx).withColumn(
+    # right-size parallelism to the input: this is a ~450-row fixture
+    # union, but the parquet scan contributes 32 near-empty partitions
+    # — and the plan chains TWO dependent ArrowEvalPython stages
+    # (classify -> perplexity), so every task holds 2 python workers.
+    # 33 tasks x 2 workers meant ~60 worker spawns for 450 rows (the
+    # 11s bench entry, VERDICT r5 #3); 4 partitions keeps it to the
+    # warm pool. At corpus scale the operator is run_pipeline, which
+    # keeps the scan's natural partitioning.
+    df = docs.unionByName(fx).repartition(4).withColumn(
         "lang_pred", clf(F.col("text"), F.array().cast("array<string>"))
     )
     df = with_keep_drop(with_quality_signals(df, "text"))
@@ -1442,6 +1450,52 @@ def embedding_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, C, _query_vec(spark, sf_dir, 7), k=10, n_probe=4)
 
 
+def langid_code_switch_spans(spark, sf_dir):
+    """Per-span language segmentation for code-switched documents
+    (VERDICT r5 #2): the reference's single-``Detection`` outcome
+    (src/lib.rs:89-95) generalized to segment level. Script-run
+    boundaries (the r5 int8 codepoint->script table, one gather) split
+    the doc; each run with >= MIN_SPAN_LETTERS letters is classified
+    by the hashed NB restricted to script-compatible languages (CJK
+    runs decide zh/ja by kana presence); the doc gets a
+    letters-weighted dominant language + mixed flag for the keep
+    policy. Input = documents rows (mono-script negative controls:
+    mixed must stay false) + the cross-script bilingual stratum
+    (datagen/realtext.code_switched_docs — en-quote-inside-ru, fr/ar
+    bilingual, + pure controls). Oracle = frozen expected from the
+    pure-python spec (segments.classify_spans_py), cross-checked at
+    freeze time; floors pinned in tests/test_segments.py."""
+    from hyperpolyglot_spark.datagen.realtext import code_switched_docs
+    from hyperpolyglot_spark.functions.segments import (
+        span_rows,
+        with_segments,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    fx = spark.createDataFrame(
+        [(d, t) for d, _a, _b, _l, t in code_switched_docs()],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(fx).repartition(8)
+    out = span_rows(with_segments(df, spark))
+    return out.select(
+        "doc_id",
+        "span_idx",
+        "span_start",
+        "span_len",
+        "span_letters",
+        "script",
+        "lang",
+        "dominant_lang",
+        F.round("dominant_share", 6).alias("dominant_share"),
+        "mixed",
+    )
+
+
 def embedding_knn_blocked(spark, sf_dir):
     """The PRODUCTION form of the KNN self-join: multi-probe IVF cell
     blocking (assign_cells_multi) makes the join candidates-only —
@@ -1465,35 +1519,35 @@ def embedding_knn_blocked(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries; the registry holds 60, so the tail rotates each round
+    # entries; the registry holds more, so the tail rotates each round
     # (VERDICT r4 #2: no entry goes more than two rounds without a
-    # driver signal). Round-5 rotation: the 9 entries demoted in r04
-    # (top_suppliers .. orders_cube) are promoted back into the window,
-    # and 10 entries that were driver-green r01-r04 AND whose specs did
-    # not change this round take the tail. Every entry keeps its
-    # in-repo oracle coverage every pytest run
+    # driver signal). Round-6 rotation: the 14 entries demoted in r05
+    # (docs_matching_regex .. events_top_users, last driver-green r04
+    # — r06 is their deadline) are promoted back into the window, and
+    # 18 entries that were driver-green in r05 AND whose specs did not
+    # change this round take the tail (they must return by r07).
+    # Every entry keeps its in-repo oracle coverage every pytest run
     # (tests/test_entry_oracle.py runs ALL entries).
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "top_suppliers": top_suppliers,
-        "customers_without_orders": customers_without_orders,
-        "rollup_order_priority": rollup_order_priority,
-        "distinct_types_per_brand": distinct_types_per_brand,
-        "segment_set_ops": segment_set_ops,
-        "sql_api_revenue_by_priority": sql_api_revenue_by_priority,
-        "source_langs_csv": source_langs_csv,
-        "events_type_pivot": events_type_pivot,
-        "orders_cube": orders_cube,
-        "events_sessionization": events_sessionization,
-        "purchases_asof_click": purchases_asof_click,
-        "clicks_in_purchase_windows": clicks_in_purchase_windows,
+        # --- promoted back this round (absent from the driver window
+        # in r05 only; deadline rotation) ---
+        "docs_matching_regex": docs_matching_regex,
+        "lang_chars_zscore": lang_chars_zscore,
+        "regex_marker_counts": regex_marker_counts,
+        "source_lang_matrix": source_lang_matrix,
+        "orders_with_heavy_items": orders_with_heavy_items,
+        "top2_orders_per_customer": top2_orders_per_customer,
+        "revenue_pct_by_returnflag": revenue_pct_by_returnflag,
+        "min_cost_supplier_per_nation": min_cost_supplier_per_nation,
+        "nation_customer_supplier_counts": nation_customer_supplier_counts,
+        "events_value_stats": events_value_stats,
+        "events_salted_counts": events_salted_counts,
+        "events_json_props": events_json_props,
+        "events_hourly": events_hourly,
+        "events_top_users": events_top_users,
+        # --- standing window ---
         "lang_breakdown": lang_breakdown,
         "doc_token_stats": doc_token_stats,
-        "doc_quality_scores": doc_quality_scores,
-        "family_breakdown": family_breakdown,
-        "lang_median_chars": lang_median_chars,
         "exact_dedup_documents": exact_dedup_documents,
         "neardup_jaccard_pairs": neardup_jaccard_pairs,
         "neardup_minhash_pairs": neardup_minhash_pairs,
@@ -1524,23 +1578,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": embedding_knn,
         "embedding_ann_ivf": embedding_ann_ivf,
         "embedding_knn_blocked": embedding_knn_blocked,
+        # --- round-6 new operators ---
+        "langid_code_switch_spans": langid_code_switch_spans,
         # --- rotation tail (past the driver's 50-entry window this
-        # round; driver-green r01-r04, specs untouched in r05, still
-        # oracled in-repo every pytest run; promote back in r06) ---
-        "docs_matching_regex": docs_matching_regex,
-        "lang_chars_zscore": lang_chars_zscore,
-        "regex_marker_counts": regex_marker_counts,
-        "source_lang_matrix": source_lang_matrix,
-        "orders_with_heavy_items": orders_with_heavy_items,
-        "top2_orders_per_customer": top2_orders_per_customer,
-        "revenue_pct_by_returnflag": revenue_pct_by_returnflag,
-        "min_cost_supplier_per_nation": min_cost_supplier_per_nation,
-        "nation_customer_supplier_counts": nation_customer_supplier_counts,
-        "events_value_stats": events_value_stats,
-        "events_salted_counts": events_salted_counts,
-        "events_json_props": events_json_props,
-        "events_hourly": events_hourly,
-        "events_top_users": events_top_users,
+        # round; ALL driver-green in r05, specs untouched in r06, still
+        # oracled in-repo every pytest run; promote back in r07) ---
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "top_suppliers": top_suppliers,
+        "customers_without_orders": customers_without_orders,
+        "rollup_order_priority": rollup_order_priority,
+        "distinct_types_per_brand": distinct_types_per_brand,
+        "segment_set_ops": segment_set_ops,
+        "sql_api_revenue_by_priority": sql_api_revenue_by_priority,
+        "source_langs_csv": source_langs_csv,
+        "events_type_pivot": events_type_pivot,
+        "orders_cube": orders_cube,
+        "events_sessionization": events_sessionization,
+        "purchases_asof_click": purchases_asof_click,
+        "clicks_in_purchase_windows": clicks_in_purchase_windows,
+        "lang_median_chars": lang_median_chars,
+        "family_breakdown": family_breakdown,
+        "doc_quality_scores": doc_quality_scores,
     }
 
 
@@ -2152,6 +2212,11 @@ def oracle_sql() -> dict[str, str]:
         "langid_short_texts": """
             SELECT doc_id, lang, lang_pred, correct
             FROM read_parquet('/root/repo/data/expected_sf0.01/langid_short_texts.parquet')
+        """,
+        "langid_code_switch_spans": """
+            SELECT doc_id, span_idx, span_start, span_len, span_letters,
+                   script, lang, dominant_lang, dominant_share, mixed
+            FROM read_parquet('/root/repo/data/expected_sf0.01/langid_code_switch_spans.parquet')
         """,
         "unresolved_disposition": """
             SELECT doc_id, lang_pred, keep, drop_rule, ppl_scored,

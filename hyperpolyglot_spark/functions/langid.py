@@ -588,9 +588,14 @@ def make_classify_udf(spark: SparkSession, model=None, unresolved: bool = False)
     the batch). With ``unresolved=True`` a noise-like decision returns
     NULL (classify_or_none_py) instead of a forced argmax.
     """
-    bc = spark.sparkContext.broadcast(
-        model if model is not None else default_hashed_model()
-    )
+    if model is not None:
+        bc = spark.sparkContext.broadcast(model)
+    else:  # default model: broadcast once per application, then reuse
+        from ..session import cached_broadcast
+
+        bc = cached_broadcast(
+            spark, "langid.default_hashed_model", default_hashed_model
+        )
     score = classify_or_none_py if unresolved else classify_any
 
     @F.pandas_udf(T.StringType())

@@ -255,7 +255,14 @@ def default_ppl_model() -> PplModel:
 def make_perplexity_udf(spark: SparkSession, model: PplModel | None = None):
     """Arrow-batched (text, lang) -> perplexity under the broadcast
     model. One python hop, no shuffle — the corpus-scale scorer."""
-    bc = spark.sparkContext.broadcast(model or default_ppl_model())
+    if model is not None:
+        bc = spark.sparkContext.broadcast(model)
+    else:  # default model: broadcast once per application, then reuse
+        from ..session import cached_broadcast
+
+        bc = cached_broadcast(
+            spark, "perplexity.default_ppl_model", default_ppl_model
+        )
 
     @F.pandas_udf(T.DoubleType())
     def ppl_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:

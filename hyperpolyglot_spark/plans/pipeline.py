@@ -179,14 +179,30 @@ def make_label_udf(
     drive the oracle queries — same frozen spec, different plan shape."""
     from ..functions.langid import default_hashed_model
 
-    bc = spark.sparkContext.broadcast(
-        model if model is not None else default_hashed_model()
-    )
-    pm = ppl_model or default_ppl_model()
+    from ..session import cached_broadcast
+
+    if model is not None:
+        bc = spark.sparkContext.broadcast(model)
+    else:  # default model: one broadcast per application (session.py)
+        bc = cached_broadcast(
+            spark, "langid.default_hashed_model", default_hashed_model
+        )
     # thresholds calibrate ONCE on the driver and ship with the model —
     # otherwise every python worker would rerun the 60-language
     # calibration pass on first use
-    bc_ppl = spark.sparkContext.broadcast((pm, ppl_thresholds_for(pm)))
+    if ppl_model is not None:
+        bc_ppl = spark.sparkContext.broadcast(
+            (ppl_model, ppl_thresholds_for(ppl_model))
+        )
+    else:
+        bc_ppl = cached_broadcast(
+            spark,
+            "pipeline.default_ppl_model+thresholds",
+            lambda: (
+                default_ppl_model(),
+                ppl_thresholds_for(default_ppl_model()),
+            ),
+        )
 
     if unresolved_policy not in UNRESOLVED_POLICIES:
         raise ValueError(f"unknown unresolved_policy {unresolved_policy!r}")
