@@ -1496,6 +1496,22 @@ def langid_code_switch_spans(spark, sf_dir):
     )
 
 
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDedup-style embedding-cluster dedup decision (VERDICT r5 #6):
+    IVF cells (deterministic centroids: 8 lowest-id seeds + one k-means
+    pass) + within-cell cosine near-dup -> keep/drop per vector with
+    dup_of/dup_cosine audit columns (operators/dedup.semantic_dedup).
+    The semantic-dedup pass real LLM pipelines run after minhash.
+    Oracle = frozen numpy replication of the same clustering + drop
+    rule (tools/gen_expected.py), so the driver gate covers the
+    blocked decision itself — no all-pairs outside the oracle."""
+    from hyperpolyglot_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = ivf_centroids(emb, n_cells=8)
+    return semantic_dedup(emb, C, threshold=0.45)
+
+
 def embedding_knn_blocked(spark, sf_dir):
     """The PRODUCTION form of the KNN self-join: multi-probe IVF cell
     blocking (assign_cells_multi) makes the join candidates-only —
@@ -1580,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_blocked": embedding_knn_blocked,
         # --- round-6 new operators ---
         "langid_code_switch_spans": langid_code_switch_spans,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         # --- rotation tail (past the driver's 50-entry window this
         # round; ALL driver-green in r05, specs untouched in r06, still
         # oracled in-repo every pytest run; promote back in r07) ---
@@ -2217,6 +2234,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, span_idx, span_start, span_len, span_letters,
                    script, lang, dominant_lang, dominant_share, mixed
             FROM read_parquet('/root/repo/data/expected_sf0.01/langid_code_switch_spans.parquet')
+        """,
+        "semantic_dedup_embeddings": """
+            SELECT vec_id, cell, keep, dup_of, dup_cosine
+            FROM read_parquet('/root/repo/data/expected_sf0.01/semantic_dedup_embeddings.parquet')
         """,
         "unresolved_disposition": """
             SELECT doc_id, lang_pred, keep, drop_rule, ppl_scored,

@@ -872,3 +872,74 @@ def simhash_neardup_pairs(
         "hamming",
         F.lit(0).cast("int"),
     )
+
+
+# ----------------------------------------------------------------------
+# SemDedup-style embedding-cluster dedup (round 6)
+# ----------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cluster dedup DECISION (the semantic-dedup pass real
+    LLM pipelines run after minhash — SemDedup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus coarsely (IVF cells,
+    operators/similarity.assign_cells), then within each cell drop a
+    row iff a LOWER-id member of its cell has cosine > threshold
+    (round-6, matching cosine_neardup_pairs). Emits one row per input:
+    (id, cell, keep, dup_of, dup_cosine) where dup_of is the lowest
+    qualifying lower id — the exact_dedup keep/drop shape, so the
+    pipeline can route on it the same way.
+
+    Spec note: the drop rule is "exists ANY similar lower id", not
+    greedy-leader clustering — a row similar only to an already-
+    dropped row still drops. That keeps the decision embarrassingly
+    parallel per cell (one join, no sequential sweep) and
+    deterministic under any partitioning; at threshold-sized
+    neighborhoods the two rules differ only inside tight clusters
+    where every member is a near-dup of the kept leader anyway.
+
+    Scale shape: the only quadratic term is per-cell (SemDedup's own
+    design point — cell count grows with the corpus so cells stay
+    ~constant-sized); the join shuffles (id, cell, vec) once on cell,
+    and the output is corpus-sized, never pair-sized. No all-pairs
+    join exists in the plan at any cell count.
+    """
+    from .similarity import assign_cells, cosine_neardup_pairs
+
+    assigned = _pin(
+        assign_cells(df, centroids, id_col, vec_col).select(
+            id_col, "cell", vec_col
+        )
+    )
+    pairs = cosine_neardup_pairs(
+        assigned, threshold, id_col=id_col, vec_col=vec_col,
+        block_col="cell",
+    )
+    # the larger id of each qualifying pair is a drop; the audit trail
+    # keeps the lowest lower-id partner and THAT partner's cosine
+    # (struct-min orders by id_a first, so the cosine rides along)
+    dropped = (
+        pairs.groupBy("id_b")
+        .agg(F.min(F.struct("id_a", "cosine")).alias("_d"))
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("_d.id_a").alias("dup_of"),
+            F.col("_d.cosine").alias("dup_cosine"),
+        )
+    )
+    return (
+        assigned.drop(vec_col)
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            "dup_cosine",
+        )
+    )

@@ -323,6 +323,56 @@ def expected_token_nb() -> pd.DataFrame:
     )
 
 
+def expected_semantic_dedup() -> pd.DataFrame:
+    """numpy replication of semantic_dedup over the embeddings table:
+    centroids = ivf_centroids(n_cells=8, one refinement pass), each
+    vector in its nearest cell, drop iff a lower-id cell-mate has
+    round(cosine, 6) > 0.45; dup_of = lowest such id, dup_cosine =
+    that partner's cosine."""
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+
+    def normalize(M):
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    n_cells, thr = 8, 0.45
+    C = V[np.argsort(ids)[:n_cells]].copy()
+    cells1 = np.argmax(normalize(V) @ normalize(C).T, axis=1)
+    C2 = C.copy()
+    for c in range(n_cells):
+        members = V[cells1 == c]
+        if len(members):
+            C2[c] = members.mean(axis=0)
+    cells2 = np.argmax(normalize(V) @ normalize(C2).T, axis=1)
+    Vn = normalize(V)
+    S = np.round(Vn @ Vn.T, 6)
+    out = []
+    order = np.argsort(ids)
+    for j in order:
+        mates = np.where(
+            (cells2 == cells2[j]) & (ids < ids[j]) & (S[:, j] > thr)
+        )[0]
+        if len(mates):
+            lo = mates[np.argmin(ids[mates])]
+            out.append(
+                (int(ids[j]), int(cells2[j]), False, int(ids[lo]),
+                 float(S[lo, j]))
+            )
+        else:
+            out.append((int(ids[j]), int(cells2[j]), True, None, None))
+    df = pd.DataFrame(
+        out, columns=["vec_id", "cell", "keep", "dup_of", "dup_cosine"]
+    ).astype({"vec_id": "int64", "cell": "int32"})
+    # keep NULLs as python None (object dtype), not float NaN — the
+    # crosscheck compares raw tuples against Spark's None
+    df["dup_of"] = pd.Series([r[3] for r in out], dtype=object)
+    df["dup_cosine"] = pd.Series([r[4] for r in out], dtype=object)
+    return df
+
+
 def expected_knn_blocked() -> pd.DataFrame:
     """numpy replication of the multi-probe IVF-blocked KNN self-join:
     centroids = ivf_centroids(n_cells=8, 1 refinement pass), every
@@ -419,6 +469,7 @@ def main():
         "unresolved_disposition": expected_unresolved_disposition(),
         "langid_short_texts": expected_langid_short_texts(),
         "langid_code_switch_spans": expected_code_switch_spans(),
+        "semantic_dedup_embeddings": expected_semantic_dedup(),
         "audio_media_features": expected_audio_features(),
         "embedding_ann_ivf": expected_ivf_topk(),
         "embedding_knn_blocked": expected_knn_blocked(),
@@ -446,6 +497,11 @@ def main():
         spark,
         "langid_code_switch_spans",
         tables["langid_code_switch_spans"],
+    )
+    crosscheck(
+        spark,
+        "semantic_dedup_embeddings",
+        tables["semantic_dedup_embeddings"],
     )
     crosscheck(spark, "audio_media_features", tables["audio_media_features"])
     crosscheck(
