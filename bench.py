@@ -67,6 +67,10 @@ HEADLINE = [
     "decontaminate_rewrite_docs",
     "langid_short_texts",
     "audio_media_features",
+    # round-6 operators
+    "langid_code_switch_spans",
+    "semantic_dedup_embeddings",
+    "video_media_features",
 ]
 
 

@@ -731,3 +731,131 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+# ----------------------------------------------------------------------
+# video: MJPEG-in-AVI decode + per-clip features (round 6)
+# ----------------------------------------------------------------------
+
+def decode_video(payload: bytes, fake: bool = False):
+    """(frames, fps, width, height) for an MJPEG AVI clip: frames is a
+    list of HxWxC uint8 arrays decoded per-'00dc'-chunk through
+    decode_image (the same T.81 baseline JPEG path images use);
+    uncompressed '00db' frames are raw bottom-up rows. Chunked RIFF
+    walk like decode_audio — unknown chunks/LISTs skip cleanly.
+    Malformed AVI of a supported shape raises ValueError; other
+    containers raise NotImplementedError unless ``fake`` (deterministic
+    2-frame stub, same shape contract)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        w = h = None
+        fps = 0.0
+        frames: list[np.ndarray] = []
+
+        def walk(buf: bytes):
+            nonlocal w, h, fps
+            i = 0
+            while i + 8 <= len(buf):
+                cid = buf[i : i + 4]
+                (clen,) = np.frombuffer(buf, "<u4", 1, i + 4)
+                body = buf[i + 8 : i + 8 + int(clen)]
+                if cid == b"LIST":
+                    walk(body[4:])  # skip the list-kind fourcc
+                elif cid == b"avih":
+                    (usec,) = np.frombuffer(body, "<u4", 1, 0)
+                    w_, h_ = (
+                        int(x) for x in np.frombuffer(body, "<u4", 2, 32)
+                    )
+                    w, h = w_, h_
+                    fps = 1_000_000.0 / float(usec) if usec else 0.0
+                elif cid[2:4] == b"dc":  # compressed (MJPEG) frame
+                    frames.append(decode_image(bytes(body)))
+                elif cid[2:4] == b"db":  # uncompressed DIB frame
+                    if w is None:
+                        raise ValueError("AVI frame before avih header")
+                    arr = np.frombuffer(body, np.uint8)
+                    ch = arr.size // (w * h)
+                    if ch * w * h != arr.size or ch not in (1, 3):
+                        raise ValueError("bad raw AVI frame size")
+                    a = arr.reshape(h, w, ch)[::-1]  # DIB rows bottom-up
+                    frames.append(a[..., ::-1].copy() if ch == 3 else a.copy())
+                i += 8 + int(clen) + (int(clen) & 1)
+
+        walk(payload[12:])
+        if w is None:
+            raise ValueError("AVI without avih header")
+        return frames, fps, w, h
+    if not fake:
+        raise NotImplementedError(
+            "native decode covers MJPEG/raw-frame AVI; other containers "
+            "and inter-frame codecs (h264/vp9/av1) need a video library "
+            "(fake=True for the deterministic stub)"
+        )
+    d = hashlib.blake2b(payload, digest_size=32).digest()
+    a = np.frombuffer(d, np.uint8).reshape(2, 4, 4, 1).copy()
+    return [a[0], a[1]], 10.0, 4, 4
+
+
+def video_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """(id, n_frames, width, height, fps, duration_ms, mean_luma,
+    motion) per clip via mapInPandas — same bounded-batch boundary as
+    audio_features. mean_luma averages the greyscale of every frame
+    (BT.601 weights for RGB); motion is the mean absolute luma
+    difference between consecutive frames, both in [0, 1]."""
+    out_schema = (
+        f"{id_col} long, n_frames int, width int, height int,"
+        " fps double, duration_ms long, mean_luma double, motion double"
+    )
+
+    def luma(frame: np.ndarray) -> np.ndarray:
+        f = frame.astype(np.float64)
+        if f.ndim == 3 and f.shape[2] == 3:
+            return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        return f[..., 0] if f.ndim == 3 else f
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                frames, fps, w, h = decode_video(b, fake=fake_decode)
+                lum = [luma(f) / 255.0 for f in frames]
+                n = len(lum)
+                mean_luma = float(np.mean([l.mean() for l in lum])) if n else 0.0
+                motion = (
+                    float(
+                        np.mean(
+                            [
+                                np.abs(lum[k + 1] - lum[k]).mean()
+                                for k in range(n - 1)
+                            ]
+                        )
+                    )
+                    if n > 1
+                    else 0.0
+                )
+                rows.append(
+                    (
+                        mid,
+                        n,
+                        w,
+                        h,
+                        round(fps, 6),
+                        int(round(1000.0 * n / fps)) if fps else 0,
+                        round(mean_luma, 6),
+                        round(motion, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "width", "height", "fps",
+                    "duration_ms", "mean_luma", "motion",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, out_schema)

@@ -1295,3 +1295,73 @@ def test_malformed_media_raises_valueerror():
     b = _make_png(idx, color_type=3, filters=[0, 0], plte=plte)
     with pytest.raises(ValueError, match="PLTE"):
         decode_image(b)
+
+
+# --- video: MJPEG-in-AVI (round 6) ---------------------------------------
+def test_decode_video_mjpeg_avi_exact():
+    """Block-constant frames + unit quant -> the MJPEG round-trip is
+    byte-exact, so the AVI parse + per-frame T.81 decode must
+    reproduce the raw frames identically."""
+    from hyperpolyglot_spark.datagen.video import synth_avi, synth_frames
+    from hyperpolyglot_spark.operators.multimodal import decode_video
+
+    for doc_id in (0, 7, 23):
+        frames, fps, w, h = decode_video(synth_avi(doc_id))
+        raw = synth_frames(doc_id)
+        assert (w, h, fps) == (16, 16, 10.0)
+        assert len(frames) == len(raw)
+        for got, want in zip(frames, raw):
+            assert got.shape == (16, 16, 1)
+            assert (got[..., 0] == want).all()
+
+
+def test_decode_video_error_contract():
+    from hyperpolyglot_spark.datagen.video import synth_avi
+    from hyperpolyglot_spark.operators.multimodal import decode_video
+
+    # non-AVI container: declared NotImplementedError + fake fallback
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x01\x02notavideo")
+    frames, fps, w, h = decode_video(b"whatever", fake=True)
+    assert len(frames) == 2 and (w, h) == (4, 4)
+    # malformed: truncate the avih header away -> ValueError
+    b = synth_avi(1)
+    i = b.find(b"avih")
+    bad = b[: i - 8] + b[i + 64 :]  # drop the avih chunk wholesale
+    with pytest.raises(ValueError):
+        decode_video(bad)
+
+
+def test_video_features_distributed(spark):
+    """video_features through mapInPandas matches the raw-frame math
+    (the frozen-oracle relationship, asserted in-repo too)."""
+    import numpy as np
+
+    from hyperpolyglot_spark.datagen.video import (
+        FPS, N_FRAMES, synth_avi, synth_frames,
+    )
+    from hyperpolyglot_spark.operators.multimodal import video_features
+
+    rows = [(i, bytearray(synth_avi(i))) for i in range(12)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in video_features(df).collect()}
+    assert len(got) == 12
+    for i in range(12):
+        lum = [f.astype(np.float64) / 255.0 for f in synth_frames(i)]
+        mean_luma = round(float(np.mean([l.mean() for l in lum])), 6)
+        motion = round(
+            float(
+                np.mean(
+                    [
+                        np.abs(lum[k + 1] - lum[k]).mean()
+                        for k in range(len(lum) - 1)
+                    ]
+                )
+            ),
+            6,
+        )
+        r = got[i]
+        assert r["n_frames"] == N_FRAMES and r["fps"] == float(FPS)
+        assert r["duration_ms"] == 600
+        assert r["mean_luma"] == mean_luma
+        assert r["motion"] == motion

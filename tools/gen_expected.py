@@ -169,6 +169,47 @@ def expected_audio_features() -> pd.DataFrame:
     )
 
 
+def expected_video_features() -> pd.DataFrame:
+    """Video features recomputed from the RAW frames (no AVI/JPEG
+    container): block-constant frames + unit quant make the MJPEG
+    round-trip EXACT, so the Spark query's container-parse + T.81
+    decode must reproduce these numbers identically."""
+    from hyperpolyglot_spark.datagen.video import (
+        FPS,
+        HEIGHT,
+        N_FRAMES,
+        WIDTH,
+        synth_frames,
+    )
+
+    out = []
+    for doc_id in range(50):
+        lum = [f.astype(np.float64) / 255.0 for f in synth_frames(doc_id)]
+        mean_luma = float(np.mean([l.mean() for l in lum]))
+        motion = float(
+            np.mean(
+                [np.abs(lum[k + 1] - lum[k]).mean() for k in range(len(lum) - 1)]
+            )
+        )
+        out.append(
+            (
+                doc_id, N_FRAMES, WIDTH, HEIGHT, float(FPS),
+                int(round(1000.0 * N_FRAMES / FPS)),
+                round(mean_luma, 6), round(motion, 6),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "doc_id", "n_frames", "width", "height", "fps",
+            "duration_ms", "mean_luma", "motion",
+        ],
+    ).astype(
+        {"doc_id": "int64", "n_frames": "int32", "width": "int32",
+         "height": "int32", "duration_ms": "int64"}
+    )
+
+
 def expected_code_switch_spans() -> pd.DataFrame:
     """Pure-python spec of the per-span code-switch segmentation
     (segments.classify_spans_py) over documents(doc_id<60) + the
@@ -470,6 +511,7 @@ def main():
         "langid_short_texts": expected_langid_short_texts(),
         "langid_code_switch_spans": expected_code_switch_spans(),
         "semantic_dedup_embeddings": expected_semantic_dedup(),
+        "video_media_features": expected_video_features(),
         "audio_media_features": expected_audio_features(),
         "embedding_ann_ivf": expected_ivf_topk(),
         "embedding_knn_blocked": expected_knn_blocked(),
@@ -502,6 +544,9 @@ def main():
         spark,
         "semantic_dedup_embeddings",
         tables["semantic_dedup_embeddings"],
+    )
+    crosscheck(
+        spark, "video_media_features", tables["video_media_features"]
     )
     crosscheck(spark, "audio_media_features", tables["audio_media_features"])
     crosscheck(
