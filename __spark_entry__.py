@@ -1496,6 +1496,47 @@ def langid_code_switch_spans(spark, sf_dir):
     )
 
 
+def langid_noisy_texts(spark, sf_dir):
+    """Noisy-encoding robustness as a driver row (VERDICT r5 #4): the
+    102-language stratum of mojibake / HTML-entity / percent-encoded /
+    zero-width-littered variants (datagen/realtext.noisy_texts, all
+    deterministic transforms of the repo's own prose) pushed through
+    the production classifier (unresolved gate on) AND the quality
+    ladder, distributed. kept_mislabel pins the pipeline safety
+    invariant (always false: a wrong-language doc never enters the
+    kept pool). Oracle = frozen expected from the pure-python specs
+    (classify_or_none_py + py_keep_drop), cross-checked at freeze
+    time; behavioral floors pinned in test_realtext."""
+    from hyperpolyglot_spark.datagen.realtext import noisy_texts
+    from hyperpolyglot_spark.functions.langid import make_classify_udf
+    from hyperpolyglot_spark.functions.quality import (
+        with_keep_drop,
+        with_quality_signals,
+    )
+
+    df = spark.createDataFrame(
+        noisy_texts(), "doc_id long, lang string, variant string, text string"
+    ).repartition(8)
+    clf = make_classify_udf(spark, None, unresolved=True)
+    df = df.withColumn(
+        "lang_pred", clf(F.col("text"), F.array().cast("array<string>"))
+    )
+    df = with_keep_drop(with_quality_signals(df, "text"))
+    return df.select(
+        "doc_id",
+        "lang",
+        "variant",
+        "lang_pred",
+        "keep",
+        "drop_rule",
+        (
+            F.col("keep")
+            & F.col("lang_pred").isNotNull()
+            & (F.col("lang_pred") != F.col("lang"))
+        ).alias("kept_mislabel"),
+    )
+
+
 def video_media_features(spark, sf_dir):
     """Video-column operator as a driver row (VERDICT r5 #5, closing
     the media triad): MJPEG-in-AVI clips synthesized deterministically
@@ -1638,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_code_switch_spans": langid_code_switch_spans,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "video_media_features": video_media_features,
+        "langid_noisy_texts": langid_noisy_texts,
         # --- rotation tail (past the driver's 50-entry window this
         # round; ALL driver-green in r05, specs untouched in r06, still
         # oracled in-repo every pytest run; promote back in r07) ---
@@ -1695,6 +1737,7 @@ def _keep_drop_sql() -> str:
     NULL gated signal never fires its rule (CASE WHEN NULL falls
     through), matching the py spec and column ladder."""
     from hyperpolyglot_spark.functions.langdata import ALL_STOPWORDS
+    from hyperpolyglot_spark.functions.langid import NORM_FROM, NORM_TO
     from hyperpolyglot_spark.functions.quality import (
         _HANGUL_PARTICLE_RE_S,
         _REP_CHAR_CAP,
@@ -1705,6 +1748,10 @@ def _keep_drop_sql() -> str:
         SPACELESS_THRESHOLD,
     )
 
+    # r6: same invisible-char normalization as with_quality_signals /
+    # py_signals — DuckDB translate() deletes chars beyond len(to),
+    # identical to Spark's (SQL-standard rule)
+    _nf, _nt = NORM_FROM, NORM_TO
     # SQL-escape: the Afrikaans stopword 'n carries an apostrophe
     stops = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ALL_STOPWORDS))
     ladder = "CASE"
@@ -1732,7 +1779,10 @@ def _keep_drop_sql() -> str:
                  (length(text) - length(regexp_replace(text, '{_SPACELESS_CLASS}', '', 'g')))::DOUBLE
                    / greatest(length(text), 1) AS spaceless_ratio,
                  substring(text, 1, {_REP_CHAR_CAP}) AS tc
-          FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)
+          FROM (SELECT doc_id, text, {_WORDS} AS w
+                FROM (SELECT doc_id,
+                             translate(text, '{_nf}', '{_nt}') AS text
+                      FROM documents))
         ), sig AS (
           SELECT *,
                  spaceless_ratio > {SPACELESS_THRESHOLD} AS is_spaceless,
@@ -2284,6 +2334,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_frames, width, height, fps, duration_ms,
                    mean_luma, motion
             FROM read_parquet('/root/repo/data/expected_sf0.01/video_media_features.parquet')
+        """,
+        "langid_noisy_texts": """
+            SELECT doc_id, lang, variant, lang_pred, keep, drop_rule,
+                   kept_mislabel
+            FROM read_parquet('/root/repo/data/expected_sf0.01/langid_noisy_texts.parquet')
         """,
         "unresolved_disposition": """
             SELECT doc_id, lang_pred, keep, drop_rule, ppl_scored,

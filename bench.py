@@ -71,6 +71,7 @@ HEADLINE = [
     "langid_code_switch_spans",
     "semantic_dedup_embeddings",
     "video_media_features",
+    "langid_noisy_texts",
 ]
 
 

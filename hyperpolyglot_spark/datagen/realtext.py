@@ -1232,3 +1232,70 @@ def code_switched_docs() -> list[tuple[int, str, str, str, str]]:
         out.append((40_000 + i, a, b, "alternate", alternate)); i += 1
         out.append((40_000 + i, a, a, "pure", pa[2])); i += 1
     return out
+
+
+# ----------------------------------------------------------------------
+# noisy-encoding stratum (round 6): deterministic corruption variants
+# ----------------------------------------------------------------------
+# Real crawls deliver text whose ENCODING is damaged even when the
+# content is fine: UTF-8 bytes re-read as Latin-1 (mojibake), HTML
+# entities that never got decoded, percent-encoded fragments, and
+# invisible formatting litter (ZWSP/NBSP) from CMS editors. This
+# stratum applies those transforms to this module's own passages and
+# pins how the pipeline behaves (tests/test_realtext.py):
+#   * zwsp litter must be FULLY absorbed (classifier + quality
+#     decisions identical to clean — the r6 normalize_scoring_text fix)
+#   * no transform may put a MISCLASSIFIED doc into the kept pool
+#     (wrong-language docs must be dropped or unresolved)
+
+NOISY_VARIANTS = ("clean", "mojibake", "entities", "pct", "zwsp")
+
+
+def _noise_mojibake(t: str) -> str:
+    """UTF-8 bytes decoded as Latin-1 — the classic double-encoding."""
+    return t.encode("utf-8").decode("latin-1")
+
+
+def _noise_entities(t: str) -> str:
+    """Numeric entities for all non-ASCII + the named basics."""
+    named = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+    return "".join(
+        f"&#{ord(c)};" if ord(c) > 127 else named.get(c, c) for c in t
+    )
+
+
+def _noise_pct(t: str) -> str:
+    """Percent-encoding with common punctuation left bare."""
+    import urllib.parse
+
+    return urllib.parse.quote(t, safe=" .,;:!?-'")
+
+
+def _noise_zwsp(t: str) -> str:
+    """NBSP for every space + a ZWSP every 7 chars."""
+    t = t.replace(" ", " ")
+    return "​".join(t[i : i + 7] for i in range(0, len(t), 7))
+
+
+_NOISE_FNS = {
+    "clean": lambda t: t,
+    "mojibake": _noise_mojibake,
+    "entities": _noise_entities,
+    "pct": _noise_pct,
+    "zwsp": _noise_zwsp,
+}
+
+
+def noisy_texts() -> list[tuple[int, str, str, str]]:
+    """(doc_id, lang, variant, text): the 5 variants of each language's
+    full-length passage concatenation (~600 chars — above the quality
+    floors, so drops measure NOISE, not length). doc_ids from 50_000,
+    grouped by language then variant order."""
+    out = []
+    i = 0
+    for lang in sorted(REAL_TEXT):
+        base = " ".join(REAL_TEXT[lang])
+        for variant in NOISY_VARIANTS:
+            out.append((50_000 + i, lang, variant, _NOISE_FNS[variant](base)))
+            i += 1
+    return out

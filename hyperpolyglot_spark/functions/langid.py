@@ -50,6 +50,45 @@ def text_grams(text: str) -> list[str]:
 
 
 # ----------------------------------------------------------------------
+# scoring-time normalization (round 6, noisy-encoding robustness)
+# ----------------------------------------------------------------------
+# Real web text is littered with INVISIBLE formatting characters —
+# zero-width spaces from CMS editors, BOMs, soft hyphens, direction
+# marks, NBSP-class spaces. They carry no language signal but land in
+# every trigram window: measured on the realtext noisy stratum, a
+# ZWSP-every-7-chars variant collapsed hashed-NB accuracy 0.96 -> 0.09
+# (90% gated as noise). Scoring therefore normalizes its INPUT — strip
+# the purely-visual chars, map NBSP-class to a plain space — before
+# capping. ZWNJ (U+200C) and ZWJ (U+200D) are deliberately KEPT: they
+# are linguistically meaningful (Persian/Hindi orthography, emoji
+# sequences) and appear in real prose the models should learn as-is.
+# Training corpora are clean by construction, so this applies at
+# SCORING time (classify/perplexity); the SQL-oracled in-query
+# training-agg queries keep their raw-text semantics.
+# ZWSP, BOM/ZWNBSP, word joiner, soft hyphen, LRM, RLM
+_STRIP_CHARS = "\u200b\ufeff\u2060\u00ad\u200e\u200f"
+# NBSP, narrow NBSP, figure space
+_SPACE_CHARS = "\u00a0\u202f\u2007"
+_NORM_TABLE = {ord(c): None for c in _STRIP_CHARS}
+_NORM_TABLE.update({ord(c): " " for c in _SPACE_CHARS})
+
+
+def normalize_scoring_text(text: str) -> str:
+    """Strip invisible formatting chars / unify NBSP-class spaces —
+    the pre-gram cleanup every scorer applies (spec above)."""
+    return text.translate(_NORM_TABLE)
+
+
+# translate()-form of the same table for the Spark column and DuckDB
+# SQL implementations: chars in NORM_FROM beyond len(NORM_TO) are
+# DELETED — identical semantics in Spark's translate and DuckDB's
+# (both follow the SQL-standard deletion rule), so all three engines
+# share one normalization spec.
+NORM_FROM = _SPACE_CHARS + _STRIP_CHARS
+NORM_TO = " " * len(_SPACE_CHARS)
+
+
+# ----------------------------------------------------------------------
 # deterministic training corpus (the samples/ analog)
 # ----------------------------------------------------------------------
 
@@ -290,6 +329,7 @@ def classify_py(
     """Pure-Python spec scorer, exact classifier.rs:18-49 semantics
     (plus the documented script narrowing for empty candidates)."""
     model = model or default_model()
+    text = normalize_scoring_text(text)  # r6: invisible-char cleanup
     cands = _narrowed_cands(text, candidates)
     gram_counts = Counter(text_grams(text))
     best_lang, best_score = cands[0], float("-inf")
@@ -379,7 +419,9 @@ def classify_margin_py(
         if isinstance(model, TokenModel):
             feats = Counter(text_tokens(text))
         else:
-            feats = Counter(text_grams(text))
+            # r6: same invisible-char cleanup as the scorers (tokens
+            # are ASCII code — exempt)
+            feats = Counter(text_grams(normalize_scoring_text(text)))
         n = sum(feats.values())
         narrow = set(cands)
         best, second = float("-inf"), float("-inf")
@@ -810,7 +852,7 @@ _KB_MAX = 200_000
 def _packed_grams(text: str) -> tuple[np.ndarray, np.ndarray] | None:
     """Distinct trigrams of the capped lowercased text as int64-packed
     keys + counts — the all-numpy replacement for Counter(text_grams)."""
-    t = text[:MAX_SCORE_CHARS].lower()
+    t = normalize_scoring_text(text)[:MAX_SCORE_CHARS].lower()
     if len(t) < NGRAM:
         return None
     a = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)

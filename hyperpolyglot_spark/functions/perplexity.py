@@ -132,7 +132,12 @@ def logprob10_py(
     sc = _scorer(model).get(lang)
     if sc is None:
         return 0.0, 0
-    t = text[:PPL_MAX_CHARS].lower()
+    # r6: same invisible-char cleanup as the NB scorers (langid spec) —
+    # applied at SCORING time; training corpora are clean by
+    # construction and the in-query SQL LM keeps raw-text semantics
+    from .langid import normalize_scoring_text
+
+    t = normalize_scoring_text(text)[:PPL_MAX_CHARS].lower()
     n = len(t) - PPL_NGRAM + 1
     if n <= 0:
         return 0.0, 0

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .langdata import ALL_STOPWORDS
+from .langid import NORM_FROM, NORM_TO, normalize_scoring_text
 
 # Letter ranges of every script in the language universe (the 26
 # scripts). Shared by the symbol class below (negated: anything not a
@@ -305,6 +306,13 @@ def py_words(text: str) -> list[str]:
 
 
 def py_signals(text: str, url: str = "") -> dict[str, float]:
+    # r6 noisy-encoding fix: quality signals normalize their input the
+    # same way the scorers do (langid.normalize_scoring_text) — ZWSP-
+    # littered / NBSP-spaced real prose otherwise fails stopword
+    # density and word splitting (measured: 75/102 clean passages in
+    # the noisy stratum wrongly dropped). The STORED text stays
+    # byte-identical; only the signal computation normalizes.
+    text = normalize_scoring_text(text)
     words = py_words(text)
     n_chars = len(text)
     n_words = len(words)
@@ -428,7 +436,8 @@ def with_quality_signals(
     row — expression trees passed to several downstream columns would
     otherwise be re-evaluated per reference (no CSE across projections
     for interpreted higher-order functions)."""
-    t = F.col(text_col)
+    t = F.translate(F.col(text_col), NORM_FROM, NORM_TO)  # r6: same
+    # invisible-char normalization as py_signals, one translate call
     df = df.withColumn("_w", words_col(t))
     nw = F.size("_w")
     # 3-grams as zipped word triples — three O(n) slices + one zip,

@@ -123,9 +123,12 @@ def test_perplexity_total_and_positive(s, lang):
         ppl_events,
     )
 
+    from hyperpolyglot_spark.functions.langid import normalize_scoring_text
+
     m = default_ppl_model()
     lp, n = logprob10_py(s, lang, m)
-    assert n == len(ppl_events(s)) or lang not in m
+    # r6 spec: scoring normalizes invisible chars before gram windows
+    assert n == len(ppl_events(normalize_scoring_text(s))) or lang not in m
     assert lp <= 0.0  # probabilities <= 1
     p = perplexity_py(s, lang, m)
     if p is not None:
@@ -150,8 +153,13 @@ def test_hashed_classifier_total_and_matches_reference(s):
         text_grams,
     )
 
+    from hyperpolyglot_spark.functions.langid import normalize_scoring_text
+
     hm = default_hashed_model()
     got = classify_hashed_py(s, None, hm)
+    # r6 spec: the scorer normalizes invisible chars first; the naive
+    # reference must model the same input
+    s = normalize_scoring_text(s)
     gc = Counter(text_grams(s))
     cands = _narrowed_cands(s, None)
     best, bs, first = cands[0], float("-inf"), True
@@ -189,9 +197,11 @@ def test_hashed_classifier_candidate_subset_matches_reference(s, cands):
         text_grams,
     )
 
+    from hyperpolyglot_spark.functions.langid import normalize_scoring_text
+
     hm = default_hashed_model()
     got = classify_hashed_py(s, cands, hm)
-    gc = Counter(text_grams(s))
+    gc = Counter(text_grams(normalize_scoring_text(s)))  # r6 spec
     best, bs, first = cands[0], float("-inf"), True
     for lang in cands:
         if lang not in hm:

@@ -174,3 +174,77 @@ def test_short_unresolved_rate_bounded():
             n += 1
             gated += classify_or_none_py(s, None, hm) is None
     assert gated / n <= 0.08, (gated, n)
+
+
+# ----------------------------------------------------------------------
+# noisy-encoding stratum (round 6)
+# ----------------------------------------------------------------------
+
+def test_noisy_stratum_pins():
+    """Pins (measured r6 on the 102-language full-length stratum):
+      * clean: accuracy 1.0, nothing dropped
+      * zwsp (NBSP + zero-width litter): FULLY absorbed — classifier
+        prediction and keep/drop decision identical to clean for every
+        language (forced the normalize_scoring_text fix; pre-fix
+        accuracy was 0.088 with 90% gated)
+      * every transform: NO misclassified doc reaches the kept pool
+        (wrong-language docs must be dropped or unresolved) — the
+        pipeline-level safety invariant
+      * mojibake/pct: zero confident misclassifications (gate catches
+        the garbage: 42/46 unresolved, the rest dropped or correct)
+      * mojibake: >= 75% of non-surviving docs caught (dropped or
+        unresolved; measured 83/102)
+    """
+    from hyperpolyglot_spark.datagen.realtext import noisy_texts
+    from hyperpolyglot_spark.functions.langid import (
+        classify_or_none_py,
+        default_hashed_model,
+    )
+    from hyperpolyglot_spark.functions.quality import py_keep_drop
+
+    model = default_hashed_model()
+    by_variant: dict[str, list] = {}
+    clean_decisions = {}
+    clean_preds = {}
+    for _doc_id, lang, variant, text in noisy_texts():
+        keep, rule = py_keep_drop(text)
+        pred = classify_or_none_py(text, [], model)
+        by_variant.setdefault(variant, []).append((lang, keep, rule, pred))
+        if variant == "clean":
+            clean_decisions[lang] = keep
+            clean_preds[lang] = pred
+
+    # clean baseline
+    clean = by_variant["clean"]
+    assert all(p == l for l, _k, _r, p in clean)
+    assert all(k for _l, k, _r, _p in clean)
+
+    # zwsp == clean, language by language
+    for lang, keep, _rule, pred in by_variant["zwsp"]:
+        assert keep == clean_decisions[lang], lang
+        assert pred == clean_preds[lang], lang
+
+    # safety invariant: kept ^ misclassified is empty everywhere
+    for variant, rows in by_variant.items():
+        for lang, keep, _rule, pred in rows:
+            mis = pred is not None and pred != lang
+            assert not (keep and mis), (variant, lang, pred)
+
+    # mojibake / pct: no confident misclassification at all
+    for variant in ("mojibake", "pct"):
+        mis = [
+            (l, p)
+            for l, _k, _r, p in by_variant[variant]
+            if p is not None and p != l
+        ]
+        assert mis == [], (variant, mis)
+
+    # mojibake detection coverage: dropped-or-unresolved >= 75% of the
+    # docs the transform actually damaged (non-identity)
+    damaged = caught = 0
+    for lang, keep, _rule, pred in by_variant["mojibake"]:
+        if pred == lang and keep:  # ASCII-dominant: transform ~identity
+            continue
+        damaged += 1
+        caught += (not keep) or pred is None
+    assert damaged and caught / damaged >= 0.75, (caught, damaged)

@@ -210,6 +210,37 @@ def expected_video_features() -> pd.DataFrame:
     )
 
 
+def expected_langid_noisy_texts() -> pd.DataFrame:
+    """classify_or_none_py + py_keep_drop over the noisy-encoding
+    stratum — the frozen per-row spec of the robustness behavior the
+    floors in test_realtext pin in aggregate."""
+    from hyperpolyglot_spark.datagen.realtext import noisy_texts
+    from hyperpolyglot_spark.functions.langid import (
+        classify_or_none_py,
+        default_hashed_model,
+    )
+    from hyperpolyglot_spark.functions.quality import py_keep_drop
+
+    model = default_hashed_model()
+    out = []
+    for doc_id, lang, variant, text in noisy_texts():
+        keep, rule = py_keep_drop(text)
+        pred = classify_or_none_py(text, [], model)
+        out.append(
+            (
+                doc_id, lang, variant, pred, keep, rule,
+                bool(keep and pred is not None and pred != lang),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "doc_id", "lang", "variant", "lang_pred", "keep",
+            "drop_rule", "kept_mislabel",
+        ],
+    ).astype({"doc_id": "int64"})
+
+
 def expected_code_switch_spans() -> pd.DataFrame:
     """Pure-python spec of the per-span code-switch segmentation
     (segments.classify_spans_py) over documents(doc_id<60) + the
@@ -510,6 +541,7 @@ def main():
         "unresolved_disposition": expected_unresolved_disposition(),
         "langid_short_texts": expected_langid_short_texts(),
         "langid_code_switch_spans": expected_code_switch_spans(),
+        "langid_noisy_texts": expected_langid_noisy_texts(),
         "semantic_dedup_embeddings": expected_semantic_dedup(),
         "video_media_features": expected_video_features(),
         "audio_media_features": expected_audio_features(),
@@ -547,6 +579,9 @@ def main():
     )
     crosscheck(
         spark, "video_media_features", tables["video_media_features"]
+    )
+    crosscheck(
+        spark, "langid_noisy_texts", tables["langid_noisy_texts"]
     )
     crosscheck(spark, "audio_media_features", tables["audio_media_features"])
     crosscheck(
