@@ -905,41 +905,55 @@ def semantic_dedup(
 
     Scale shape: the only quadratic term is per-cell (SemDedup's own
     design point — cell count grows with the corpus so cells stay
-    ~constant-sized); the join shuffles (id, cell, vec) once on cell,
-    and the output is corpus-sized, never pair-sized. No all-pairs
-    join exists in the plan at any cell count.
+    ~constant-sized); each row shuffles ONCE on cell into a grouped
+    numpy kernel (one matmul per cell, applyInPandas), and the output
+    is corpus-sized — no pair-sized shuffle, no all-pairs join at any
+    cell count.
     """
-    from .similarity import assign_cells, cosine_neardup_pairs
+    from .similarity import assign_cells
 
     assigned = _pin(
         assign_cells(df, centroids, id_col, vec_col).select(
             id_col, "cell", vec_col
         )
     )
-    pairs = cosine_neardup_pairs(
-        assigned, threshold, id_col=id_col, vec_col=vec_col,
-        block_col="cell",
+    # within-cell decision as ONE numpy matmul per cell (applyInPandas,
+    # the _knn_join_blocked pattern) — a pair self-join here spends its
+    # time in interpreted per-pair array lambdas (measured 6.9s -> this
+    # form ~1s at sf0.1) and shuffles candidate-sized rows; the grouped
+    # kernel shuffles each row once and emits output-sized rows only.
+    out_schema = (
+        f"{id_col} long, cell int, keep boolean, dup_of long,"
+        " dup_cosine double"
     )
-    # the larger id of each qualifying pair is a drop; the audit trail
-    # keeps the lowest lower-id partner and THAT partner's cosine
-    # (struct-min orders by id_a first, so the cosine rides along)
-    dropped = (
-        pairs.groupBy("id_b")
-        .agg(F.min(F.struct("id_a", "cosine")).alias("_d"))
-        .select(
-            F.col("id_b").alias(id_col),
-            F.col("_d.id_a").alias("dup_of"),
-            F.col("_d.cosine").alias("dup_cosine"),
+
+    def decide(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.array(pdf[vec_col].to_numpy()[order].tolist(), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = np.round(Vn @ Vn.T, 6)  # round-6 = cosine_neardup_pairs spec
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        dup_cos = np.zeros(n, dtype=np.float64)
+        for j in range(1, n):  # ids sorted: partners are rows < j
+            hits = np.nonzero(S[:j, j] > threshold)[0]
+            if hits.size:
+                lo = int(hits[0])  # lowest id partner (sorted order)
+                dup_of[j] = ids[lo]
+                dup_cos[j] = S[lo, j]
+        keep = dup_of < 0
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": pdf["cell"].to_numpy()[order],
+                "keep": keep,
+                "dup_of": [None if k else int(d) for k, d in zip(keep, dup_of)],
+                "dup_cosine": [
+                    None if k else float(c) for k, c in zip(keep, dup_cos)
+                ],
+            }
         )
-    )
-    return (
-        assigned.drop(vec_col)
-        .join(dropped, id_col, "left")
-        .select(
-            id_col,
-            "cell",
-            F.col("dup_of").isNull().alias("keep"),
-            "dup_of",
-            "dup_cosine",
-        )
-    )
+
+    return assigned.groupBy("cell").applyInPandas(decide, out_schema)
