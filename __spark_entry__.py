@@ -1537,6 +1537,50 @@ def langid_noisy_texts(spark, sf_dir):
     )
 
 
+# target mix for the sampling query: down-sample the over-represented
+# strata (the crawl-reality case), keep the tail at full rate. Shared
+# by the Spark query and the generated SQL oracle.
+_MIX_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.4}
+
+
+def training_mix_sample(spark, sf_dir):
+    """Dataset-mixing stage: deterministic stratified down-sampling by
+    language (operators/mixing.py). Keep-decision = fixed-width
+    hex-string comparison on md5(id:salt) against a per-stratum
+    threshold — no rand() (resumable: every retry of every partition
+    makes the same decision), no shuffle (broadcast dim + map-side
+    filter), and the oracle evaluates the IDENTICAL predicate in
+    DuckDB (lowercase fixed-width hex compares lexicographically ==
+    numerically in both engines)."""
+    from hyperpolyglot_spark.operators.mixing import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, spark, _MIX_RATES)
+
+
+def source_rule_rollup(spark, sf_dir):
+    """Domain-level quality rollup (the blocklist-candidate report a
+    crawl pipeline runs per host): docs per (source, outcome) where
+    outcome is the first-match drop rule or 'kept'. One hash
+    aggregation over the quality ladder's output — the per-host
+    keep-rate table that feeds url_blocklist updates at corpus
+    scale."""
+    from hyperpolyglot_spark.functions.quality import (
+        with_keep_drop,
+        with_quality_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kd = with_keep_drop(with_quality_signals(docs, "text"))
+    return (
+        kd.groupBy(
+            "source",
+            F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("outcome"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def video_media_features(spark, sf_dir):
     """Video-column operator as a driver row (VERDICT r5 #5, closing
     the media triad): MJPEG-in-AVI clips synthesized deterministically
@@ -1656,7 +1700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": doc_perplexity,
         "hashed_gram_buckets": hashed_gram_buckets,
         "per_strategy_report": per_strategy_report,
-        "doc_script_mix": doc_script_mix,
         "docs_keep_drop": docs_keep_drop,
         "docs_scrubbed": docs_scrubbed,
         "doc_tokens": doc_tokens,
@@ -1671,7 +1714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_media_features": audio_media_features,
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
-        "embedding_label_centroids": embedding_label_centroids,
         "embedding_knn": embedding_knn,
         "embedding_ann_ivf": embedding_ann_ivf,
         "embedding_knn_blocked": embedding_knn_blocked,
@@ -1680,9 +1722,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "video_media_features": video_media_features,
         "langid_noisy_texts": langid_noisy_texts,
-        # --- rotation tail (past the driver's 50-entry window this
-        # round; ALL driver-green in r05, specs untouched in r06, still
-        # oracled in-repo every pytest run; promote back in r07) ---
+        "training_mix_sample": training_mix_sample,
+        "source_rule_rollup": source_rule_rollup,
+        # --- rotation tail (20 entries past the driver's 50-entry
+        # window this round; ALL driver-green in r05, specs untouched
+        # in r06, still oracled in-repo every pytest run; promote back
+        # in r07 — none may sit out two consecutive rounds) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
@@ -1701,6 +1746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_median_chars": lang_median_chars,
         "family_breakdown": family_breakdown,
         "doc_quality_scores": doc_quality_scores,
+        "doc_script_mix": doc_script_mix,
+        "embedding_label_centroids": embedding_label_centroids,
     }
 
 
@@ -1812,6 +1859,29 @@ def _keep_drop_sql() -> str:
                ({ladder}) IS NULL AS keep,
                {ladder} AS drop_rule
         FROM sig
+    """
+
+
+def _training_mix_sql() -> str:
+    """Generated from the SAME rates table + threshold function the
+    Spark query uses (operators/mixing.py) — the decision predicate is
+    string-identical across engines."""
+    from hyperpolyglot_spark.operators.mixing import stratified_sample_sql
+
+    return stratified_sample_sql(_MIX_RATES, columns="doc_id, lang, source")
+
+
+def _source_rollup_sql() -> str:
+    """Per-source outcome rollup over the keep/drop ladder: reuse the
+    generated keep_drop SQL as a CTE (one source of truth for the
+    ladder), join source back on, group."""
+    return f"""
+        WITH kd AS ({_keep_drop_sql()})
+        SELECT d.source,
+               coalesce(kd.drop_rule, 'kept') AS outcome,
+               count(*) AS n
+        FROM kd JOIN documents d USING (doc_id)
+        GROUP BY d.source, coalesce(kd.drop_rule, 'kept')
     """
 
 
@@ -2340,6 +2410,8 @@ def oracle_sql() -> dict[str, str]:
                    kept_mislabel
             FROM read_parquet('/root/repo/data/expected_sf0.01/langid_noisy_texts.parquet')
         """,
+        "training_mix_sample": _training_mix_sql(),
+        "source_rule_rollup": _source_rollup_sql(),
         "unresolved_disposition": """
             SELECT doc_id, lang_pred, keep, drop_rule, ppl_scored,
                    disposition, disposition_if_drop

@@ -72,6 +72,8 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "video_media_features",
     "langid_noisy_texts",
+    "training_mix_sample",
+    "source_rule_rollup",
 ]
 
 
