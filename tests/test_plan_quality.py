@@ -203,3 +203,27 @@ def test_classifier_training_agg_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert plan.count("Window [") == 1  # only the rank window remains
+
+
+def test_training_mix_sample_is_shuffle_free(spark):
+    """The mixing sampler must be a map-side filter: broadcast of the
+    rates dim only — no Exchange hashpartitioning of the corpus, no
+    rand()/nondeterministic expressions (determinism is what makes the
+    sample retry-safe at scale)."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.queries()["training_mix_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "rand(" not in plan
+
+
+def test_source_rule_rollup_is_partial_final(spark):
+    """One hash aggregation with map-side combine: exactly one shuffle,
+    partial+final HashAggregate pair, no Python in the agg itself (the
+    ladder columns are JVM expressions)."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.queries()["source_rule_rollup"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
