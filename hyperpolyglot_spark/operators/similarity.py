@@ -76,16 +76,51 @@ def cosine_neardup_pairs(
     block_col: str | None = "label",
 ) -> DataFrame:
     """Pairs with cosine > threshold within a blocking key (exact
-    within-block; at scale the block is an IVF cell or LSH bucket)."""
+    within-block; at scale the block is an IVF cell or LSH bucket).
+
+    Blocked path (r6): one numpy matmul per block via applyInPandas —
+    the pair self-join form evaluated an interpreted array-aggregate
+    lambda PER PAIR (measured 7.9s vs ~1s at sf0.1, same lesson as
+    knn_join_blocked/semantic_dedup); the grouped kernel shuffles each
+    row once and emits only qualifying pairs. Output is identical:
+    id_a < id_b, round-6 cosine, strict >. The unblocked form keeps
+    the column-expression pair join — it is the DuckDB-oracle-able
+    exact baseline (quadratic, test scale only)."""
+    if block_col:
+        out_schema = "id_a long, id_b long, cosine double"
+
+        def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.array(
+                pdf[vec_col].to_numpy()[order].tolist(), dtype=np.float64
+            )
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            S = np.round(Vn @ Vn.T, 6)
+            iu, ju = np.triu_indices(len(ids), k=1)  # ids sorted: i<j
+            hit = S[iu, ju] > threshold
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[hit]],
+                    "id_b": ids[ju[hit]],
+                    "cosine": S[iu[hit], ju[hit]],
+                }
+            )
+
+        return (
+            df.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col), block_col)
+            .groupBy(block_col)
+            .applyInPandas(pairs, out_schema)
+        )
     side = df.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
-        *( [F.col(block_col)] if block_col else [] ),
     ).withColumn("n", norm_col(F.col("v")))
     a, b = side.alias("a"), side.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     sim = dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(b, cond)
