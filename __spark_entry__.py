@@ -1542,6 +1542,44 @@ def langid_noisy_texts(spark, sf_dir):
 # by the Spark query and the generated SQL oracle.
 _MIX_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.4}
 
+# boilerplate lines for the line-dedup query — injected identically by
+# the Spark builder and the DuckDB oracle (the _URL_VARIANTS pattern):
+# every doc gets B1/B2 repeated around its body, doc_id%3==0 gets B1 a
+# third time, doc_id%5==0 gets its own body repeated (dedupe must drop
+# the long content line too, not just short boilerplate).
+_BOILER = ("NAVIGATION MENU", "Subscribe to our newsletter",
+           "(c) example site 2026")
+
+
+def docs_line_deduped(spark, sf_dir):
+    """C4-style within-doc duplicate-line removal
+    (functions/textclean.py): exact duplicate lines dropped, FIRST
+    occurrence kept in order — the boilerplate-stripping pass web
+    cleaning runs before dedup/langid. Pure per-row array expressions
+    (no shuffle, no Python); the oracle runs the SAME formulation in
+    DuckDB (list comprehension + list_position), so this is a
+    structural two-engine check, not a frozen table."""
+    from hyperpolyglot_spark.functions.textclean import with_deduped_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1, b2, b3 = [F.lit(x) for x in _BOILER]
+    nl = F.lit("\n")
+    base = F.concat_ws("\n", b1, b2, F.col("text"), b1, b2, b3)
+    messy = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(base, nl, b1)
+    ).otherwise(base)
+    messy = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(messy, nl, F.col("text"))
+    ).otherwise(messy)
+    df = docs.select("doc_id", messy.alias("text"))
+    out = with_deduped_lines(df)
+    return out.select(
+        "doc_id",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        F.length("cleaned_text").alias("cleaned_len"),
+        "n_lines_removed",
+    )
+
 
 def training_mix_sample(spark, sf_dir):
     """Dataset-mixing stage: deterministic stratified down-sampling by
@@ -1690,7 +1728,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_breakdown": lang_breakdown,
         "doc_token_stats": doc_token_stats,
         "exact_dedup_documents": exact_dedup_documents,
-        "neardup_jaccard_pairs": neardup_jaccard_pairs,
         "neardup_minhash_pairs": neardup_minhash_pairs,
         "neardup_incremental": neardup_incremental,
         "neardup_incremental_indexed": neardup_incremental_indexed,
@@ -1724,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_noisy_texts": langid_noisy_texts,
         "training_mix_sample": training_mix_sample,
         "source_rule_rollup": source_rule_rollup,
+        "docs_line_deduped": docs_line_deduped,
         # --- rotation tail (20 entries past the driver's 50-entry
         # window this round; ALL driver-green in r05, specs untouched
         # in r06, still oracled in-repo every pytest run; promote back
@@ -1748,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_script_mix": doc_script_mix,
         "embedding_label_centroids": embedding_label_centroids,
+        "neardup_jaccard_pairs": neardup_jaccard_pairs,
     }
 
 
@@ -1859,6 +1898,37 @@ def _keep_drop_sql() -> str:
                ({ladder}) IS NULL AS keep,
                {ladder} AS drop_rule
         FROM sig
+    """
+
+
+def _line_dedup_sql() -> str:
+    """Same boilerplate injection + the shared DuckDB line-dedup
+    formulation (functions/textclean.dedupe_lines_sql)."""
+    from hyperpolyglot_spark.functions.textclean import dedupe_lines_sql
+
+    b1, b2, b3 = _BOILER
+    nl = "chr(10)"
+    base = (
+        f"'{b1}' || {nl} || '{b2}' || {nl} || text || {nl} || "
+        f"'{b1}' || {nl} || '{b2}' || {nl} || '{b3}'"
+    )
+    messy = (
+        f"CASE WHEN doc_id % 3 = 0 THEN {base} || {nl} || '{b1}' "
+        f"ELSE {base} END"
+    )
+    messy = (
+        f"CASE WHEN doc_id % 5 = 0 THEN ({messy}) || {nl} || text "
+        f"ELSE ({messy}) END"
+    )
+    cleaned, removed = dedupe_lines_sql("_m")
+    return f"""
+        SELECT doc_id, md5(cleaned_text) AS cleaned_md5,
+               length(cleaned_text) AS cleaned_len,
+               {removed} AS n_lines_removed
+        FROM (
+          SELECT doc_id, _m,
+                 {cleaned} AS cleaned_text
+          FROM (SELECT doc_id, {messy} AS _m FROM documents))
     """
 
 
@@ -2412,6 +2482,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "training_mix_sample": _training_mix_sql(),
         "source_rule_rollup": _source_rollup_sql(),
+        "docs_line_deduped": _line_dedup_sql(),
         "unresolved_disposition": """
             SELECT doc_id, lang_pred, keep, drop_rule, ppl_scored,
                    disposition, disposition_if_drop

@@ -1365,3 +1365,26 @@ def test_video_features_distributed(spark):
         assert r["duration_ms"] == 600
         assert r["mean_luma"] == mean_luma
         assert r["motion"] == motion
+
+
+def test_dedupe_lines_spark_matches_py(spark):
+    """Column form == python spec, including the empty-line and
+    all-duplicates edge cases, distributed."""
+    from hyperpolyglot_spark.functions.textclean import (
+        py_dedupe_lines,
+        with_deduped_lines,
+    )
+
+    texts = [
+        "a\nb\na\nc\nb", "x", "", "x\nx\nx", "a\n\nb\n\nc",
+        "menu\nbody text here\nmenu\nfooter",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(3)
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_lines_removed"])
+        for r in with_deduped_lines(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_dedupe_lines(t), (i, got[i])

@@ -392,3 +392,16 @@ def test_canonical_url_semantics():
     assert cu("https://a.b/p?next=https://c//x") == "https://a.b/p?next=https://c//x"
     assert cu("https://a.b/p?q=a/") == "https://a.b/p?q=a/"
     assert cu("https://a.b//p//q/?r=1") == "https://a.b/p/q?r=1"
+
+
+def test_dedupe_lines_spec():
+    """C4-style within-doc duplicate-line removal: first occurrence
+    wins, order preserved, count exact (functions/textclean.py)."""
+    from hyperpolyglot_spark.functions.textclean import py_dedupe_lines
+
+    assert py_dedupe_lines("a\nb\na\nc\nb") == ("a\nb\nc", 2)
+    assert py_dedupe_lines("x") == ("x", 0)
+    assert py_dedupe_lines("") == ("", 0)
+    assert py_dedupe_lines("x\nx\nx") == ("x", 2)
+    # empty lines are lines too: repeated blank lines collapse
+    assert py_dedupe_lines("a\n\nb\n\nc") == ("a\n\nb\nc", 1)

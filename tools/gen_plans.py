@@ -78,6 +78,25 @@ cap("unresolved_disposition", qs["unresolved_disposition"](spark, SF),
     "perplexity UDF + BROADCAST per-language threshold dim (102 rows; "
     "never a literal-map linear probe) + derived disposition columns.")
 
+cap("langid_code_switch_spans", qs["langid_code_switch_spans"](spark, SF),
+    "Per-span segmentation: union of pruned scan + fixture -> ONE "
+    "ArrowEvalPython stage (segment UDF) -> JVM posexplode of the "
+    "span array; the corpus never shuffles and span rows never "
+    "round-trip through Python a second time.")
+cap("semantic_dedup_embeddings", qs["semantic_dedup_embeddings"](spark, SF),
+    "SemDedup decision: cell assignment (vectorized UDF) -> ONE "
+    "hashpartitioning exchange on cell -> FlatMapGroupsInPandas "
+    "(one numpy matmul per cell) -> corpus-sized output; no pair "
+    "join, no cartesian.")
+cap("training_mix_sample", qs["training_mix_sample"](spark, SF),
+    "Dataset mixing: BROADCAST rates dim + map-side md5-hex filter — "
+    "zero Exchange of the corpus, no rand() (retry-deterministic), "
+    "asserted in tests/test_plan_quality.py.")
+cap("source_rule_rollup", qs["source_rule_rollup"](spark, SF),
+    "Per-source outcome rollup: codegen'd ladder columns -> ONE "
+    "partial+final hash agg (asserted single hashpartitioning "
+    "exchange).")
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write(
         "# PLANS — executed physical plans for the headline queries\n\n"
