@@ -1551,16 +1551,10 @@ _BOILER = ("NAVIGATION MENU", "Subscribe to our newsletter",
            "(c) example site 2026")
 
 
-def docs_line_deduped(spark, sf_dir):
-    """C4-style within-doc duplicate-line removal
-    (functions/textclean.py): exact duplicate lines dropped, FIRST
-    occurrence kept in order — the boilerplate-stripping pass web
-    cleaning runs before dedup/langid. Pure per-row array expressions
-    (no shuffle, no Python); the oracle runs the SAME formulation in
-    DuckDB (list comprehension + list_position), so this is a
-    structural two-engine check, not a frozen table."""
-    from hyperpolyglot_spark.functions.textclean import with_deduped_lines
-
+def _boiler_messy_docs(spark, sf_dir):
+    """documents with boilerplate lines injected around each body —
+    the shared fixture both line-cleaning queries (and their SQL
+    oracles, via _boiler_messy_sql) operate on."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     b1, b2, b3 = [F.lit(x) for x in _BOILER]
     nl = F.lit("\n")
@@ -1571,8 +1565,42 @@ def docs_line_deduped(spark, sf_dir):
     messy = F.when(
         F.col("doc_id") % 5 == 0, F.concat(messy, nl, F.col("text"))
     ).otherwise(messy)
-    df = docs.select("doc_id", messy.alias("text"))
-    out = with_deduped_lines(df)
+    return docs.select("doc_id", messy.alias("text"))
+
+
+def docs_common_line_filtered(spark, sf_dir):
+    """CROSS-doc boilerplate removal (the actual C4 rule: a line that
+    appears in >= 3 distinct documents is boilerplate): remove every
+    corpus-common line from every doc, order preserved; within-doc
+    duplicates of non-common lines survive (composes with
+    docs_line_deduped). Two shuffles, both inherent to a cross-doc
+    operator (line-count agg with map-side combine + per-doc rebuild);
+    the common set joins back as a BROADCAST anti-join, so the
+    corpus-sized side never shuffles for the join. Oracle = the same
+    two-phase computation in DuckDB over the identical injected
+    corpus."""
+    from hyperpolyglot_spark.functions.textclean import common_line_filter
+
+    out = common_line_filter(_boiler_messy_docs(spark, sf_dir), min_docs=3)
+    return out.select(
+        "doc_id",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        F.length("cleaned_text").alias("cleaned_len"),
+        "n_lines_removed",
+    )
+
+
+def docs_line_deduped(spark, sf_dir):
+    """C4-style within-doc duplicate-line removal
+    (functions/textclean.py): exact duplicate lines dropped, FIRST
+    occurrence kept in order — the boilerplate-stripping pass web
+    cleaning runs before dedup/langid. Pure per-row array expressions
+    (no shuffle, no Python); the oracle runs the SAME formulation in
+    DuckDB (list comprehension + list_position), so this is a
+    structural two-engine check, not a frozen table."""
+    from hyperpolyglot_spark.functions.textclean import with_deduped_lines
+
+    out = with_deduped_lines(_boiler_messy_docs(spark, sf_dir))
     return out.select(
         "doc_id",
         F.md5("cleaned_text").alias("cleaned_md5"),
@@ -1732,7 +1760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_incremental": neardup_incremental,
         "neardup_incremental_indexed": neardup_incremental_indexed,
         "doc_token_nb": doc_token_nb,
-        "neardup_simhash_pairs": neardup_simhash_pairs,
         "classifier_training_agg": classifier_training_agg,
         "doc_perplexity": doc_perplexity,
         "hashed_gram_buckets": hashed_gram_buckets,
@@ -1762,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix_sample": training_mix_sample,
         "source_rule_rollup": source_rule_rollup,
         "docs_line_deduped": docs_line_deduped,
+        "docs_common_line_filtered": docs_common_line_filtered,
         # --- rotation tail (20 entries past the driver's 50-entry
         # window this round; ALL driver-green in r05, specs untouched
         # in r06, still oracled in-repo every pytest run; promote back
@@ -1787,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_script_mix": doc_script_mix,
         "embedding_label_centroids": embedding_label_centroids,
         "neardup_jaccard_pairs": neardup_jaccard_pairs,
+        "neardup_simhash_pairs": neardup_simhash_pairs,
     }
 
 
@@ -1901,11 +1930,32 @@ def _keep_drop_sql() -> str:
     """
 
 
-def _line_dedup_sql() -> str:
-    """Same boilerplate injection + the shared DuckDB line-dedup
-    formulation (functions/textclean.dedupe_lines_sql)."""
-    from hyperpolyglot_spark.functions.textclean import dedupe_lines_sql
+def _common_line_sql() -> str:
+    """Two-phase cross-doc boilerplate filter in DuckDB over the same
+    injected corpus: count distinct docs per line, materialize the
+    common set as ONE list, per-doc list-comprehension filter."""
+    messy = _boiler_messy_expr_sql()
+    return f"""
+        WITH src AS (SELECT doc_id, {messy} AS _m FROM documents),
+        l AS (SELECT doc_id, string_split(_m, chr(10)) AS ls FROM src),
+        lines AS (SELECT doc_id, unnest(ls) AS line FROM l),
+        common AS (
+          SELECT line FROM lines GROUP BY line
+          HAVING count(DISTINCT doc_id) >= 3),
+        cset AS (SELECT coalesce(list(line), []) AS cl FROM common)
+        SELECT doc_id,
+               md5(array_to_string(kept, chr(10))) AS cleaned_md5,
+               length(array_to_string(kept, chr(10))) AS cleaned_len,
+               len(ls) - len(kept) AS n_lines_removed
+        FROM (
+          SELECT doc_id, ls,
+                 [x for x in ls if NOT list_contains(cset.cl, x)] AS kept
+          FROM l, cset)
+    """
 
+
+def _boiler_messy_expr_sql() -> str:
+    """SQL form of _boiler_messy_docs' injected text expression."""
     b1, b2, b3 = _BOILER
     nl = "chr(10)"
     base = (
@@ -1916,10 +1966,18 @@ def _line_dedup_sql() -> str:
         f"CASE WHEN doc_id % 3 = 0 THEN {base} || {nl} || '{b1}' "
         f"ELSE {base} END"
     )
-    messy = (
+    return (
         f"CASE WHEN doc_id % 5 = 0 THEN ({messy}) || {nl} || text "
         f"ELSE ({messy}) END"
     )
+
+
+def _line_dedup_sql() -> str:
+    """Shared boilerplate injection + the shared DuckDB line-dedup
+    formulation (functions/textclean.dedupe_lines_sql)."""
+    from hyperpolyglot_spark.functions.textclean import dedupe_lines_sql
+
+    messy = _boiler_messy_expr_sql()
     cleaned, removed = dedupe_lines_sql("_m")
     return f"""
         SELECT doc_id, md5(cleaned_text) AS cleaned_md5,
@@ -2483,6 +2541,7 @@ def oracle_sql() -> dict[str, str]:
         "training_mix_sample": _training_mix_sql(),
         "source_rule_rollup": _source_rollup_sql(),
         "docs_line_deduped": _line_dedup_sql(),
+        "docs_common_line_filtered": _common_line_sql(),
         "unresolved_disposition": """
             SELECT doc_id, lang_pred, keep, drop_rule, ppl_scored,
                    disposition, disposition_if_drop

@@ -69,3 +69,76 @@ def dedupe_lines_sql(text_expr: str = "text") -> tuple[str, str]:
         f"array_to_string({kept}, chr(10))",
         f"len({ls}) - len({kept})",
     )
+
+
+def common_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lines that occur in >= min_docs DISTINCT documents — the
+    corpus-level boilerplate set (C4 removes lines appearing in >= 3
+    docs: nav menus, cookie banners, footers repeat across a site's
+    pages, content lines don't)."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), NL)).alias("line"),
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def common_line_filter(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove corpus-common lines from every document, preserving the
+    remaining lines' order. Within-doc duplicates of a NON-common line
+    survive (that is ``with_deduped_lines``'s job — the two filters
+    compose).
+
+    Scale shape: two shuffles, both unavoidable for a cross-doc
+    operator — (1) the line-count aggregation (map-side combine, the
+    per-line partial counts are tiny), (2) the per-doc rebuild. The
+    common-line set is broadcast back (boilerplate sets are small by
+    nature — bounded by lines-per-site, not corpus size), so the
+    corpus-sized side never joins shuffled. Docs whose every line is
+    common still emit a row (empty cleaned text) — dropping them
+    silently would desync row counts downstream.
+    """
+    pos_lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), NL)).alias("pos", "line"),
+    )
+    common = common_lines(df, min_docs, text_col, id_col).select("line")
+    kept = pos_lines.join(F.broadcast(common), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            NL,
+        ).alias("cleaned_text"),
+        F.count("*").alias("_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), NL))
+    return (
+        df.select(F.col(id_col), n_lines.alias("_n"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
+            ),
+            (F.col("_n") - F.coalesce(F.col("_kept"), F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )

@@ -1388,3 +1388,42 @@ def test_dedupe_lines_spark_matches_py(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == py_dedupe_lines(t), (i, got[i])
+
+
+def test_common_line_filter_cross_doc(spark):
+    """The C4 >= min_docs rule: corpus-common lines removed from every
+    doc, order preserved; within-doc dups of unique lines survive; a
+    doc made entirely of common lines still emits an (empty) row."""
+    from hyperpolyglot_spark.functions.textclean import common_line_filter
+
+    rows = [
+        (1, "menu\nalpha one\nfooter"),
+        (2, "menu\nbeta two\nbeta two\nfooter"),
+        (3, "menu\ngamma three\nfooter"),
+        (4, "menu\nfooter"),  # all-common doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_lines_removed"])
+        for r in common_line_filter(df, min_docs=3).collect()
+    }
+    assert got[1] == ("alpha one", 2)
+    assert got[2] == ("beta two\nbeta two", 2)  # within-doc dup survives
+    assert got[3] == ("gamma three", 2)
+    assert got[4] == ("", 2)
+
+
+def test_common_line_filter_plan_broadcasts_common_set(spark):
+    """The anti-join against the common set must be broadcast — the
+    corpus side never shuffles for the join (the two remaining
+    exchanges are the inherent count-agg and per-doc rebuild)."""
+    from hyperpolyglot_spark.functions.textclean import common_line_filter
+
+    df = spark.createDataFrame(
+        [(i, f"menu\nbody {i}\nfooter") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = common_line_filter(df, min_docs=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    out.count()
