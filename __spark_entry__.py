@@ -1790,7 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rule_rollup": source_rule_rollup,
         "docs_line_deduped": docs_line_deduped,
         "docs_common_line_filtered": docs_common_line_filtered,
-        # --- rotation tail (20 entries past the driver's 50-entry
+        # --- rotation tail (22 entries past the driver's 50-entry
         # window this round; ALL driver-green in r05, specs untouched
         # in r06, still oracled in-repo every pytest run; promote back
         # in r07 — none may sit out two consecutive rounds) ---
