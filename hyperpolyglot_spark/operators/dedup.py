@@ -912,10 +912,12 @@ def semantic_dedup(
     """
     from .similarity import assign_cells
 
-    assigned = _pin(
-        assign_cells(df, centroids, id_col, vec_col).select(
-            id_col, "cell", vec_col
-        )
+    # single-consumer plan: the assignment feeds ONE grouped kernel,
+    # so no _pin (the pair-join form needed it against double UDF
+    # evaluation across join branches; persisting here would only
+    # hold cache blocks)
+    assigned = assign_cells(df, centroids, id_col, vec_col).select(
+        id_col, "cell", vec_col
     )
     # within-cell decision as ONE numpy matmul per cell (applyInPandas,
     # the _knn_join_blocked pattern) — a pair self-join here spends its
