@@ -74,6 +74,8 @@ HEADLINE = [
     "langid_noisy_texts",
     "training_mix_sample",
     "source_rule_rollup",
+    "docs_line_deduped",
+    "docs_common_line_filtered",
 ]
 
 

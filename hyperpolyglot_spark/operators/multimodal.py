@@ -167,7 +167,12 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError("truncated PNG")
     ch = _PNG_CHANNELS[color]
     bpp = ch * depth // 8  # filter unit is bytes-per-pixel (spec 9.2)
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt IDAT must fail with the
+        # module's documented ValueError, not zlib.error
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if interlace:  # Adam7: 7 independently-filtered sub-images
         grid = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0

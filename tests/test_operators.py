@@ -1427,3 +1427,27 @@ def test_common_line_filter_plan_broadcasts_common_set(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     out.count()
+
+
+def test_corrupt_png_idat_raises_valueerror():
+    """zlib garbage inside a structurally valid PNG must surface as
+    the module's ValueError, not zlib.error (r6 fuzz finding)."""
+    import struct
+    import zlib as z
+
+    from hyperpolyglot_spark.operators.multimodal import decode_image
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", b"\x99\x88\x77\x66")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_image(png)

@@ -238,3 +238,49 @@ def test_png_decode_roundtrip_property(h, w, color, filters, seed):
     got = decode_image(_make_png(px, color, filters))
     assert got.shape == (h, w, ch)
     assert (got == px).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_media_decoders_error_contract_on_fuzz(payload):
+    """The decode error contract (r6 ADVICE): arbitrary bytes must
+    raise ValueError (malformed supported format) or
+    NotImplementedError (unsupported format) — never NameError /
+    KeyError / IndexError / struct.error leaking from the internals.
+    Valid-decode results must honor the shape contracts."""
+    from hyperpolyglot_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video,
+    )
+
+    for fn in (decode_image, decode_audio, decode_video):
+        try:
+            fn(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_media_decoders_fuzz_with_real_magic(prefix):
+    """Same contract with VALID magic bytes prepended — exercises the
+    chunk walkers and header parsers on garbage bodies."""
+    from hyperpolyglot_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_audio,
+        decode_image,
+        decode_video,
+    )
+
+    cases = [
+        (decode_image, _PNG_SIG + prefix),
+        (decode_image, b"\xff\xd8" + prefix),
+        (decode_audio, b"RIFF\x10\x00\x00\x00WAVE" + prefix),
+        (decode_video, b"RIFF\x10\x00\x00\x00AVI " + prefix),
+    ]
+    for fn, payload in cases:
+        try:
+            fn(payload)
+        except (ValueError, NotImplementedError):
+            pass
