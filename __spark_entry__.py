@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hyperpolyglot_spark.functions.langid import HASH_BUCKETS
+from hyperpolyglot_spark.session import local_rows_df
 from hyperpolyglot_spark.functions.textstats import (
     bpe_ish_token_count_col,
     distinct_token_ratio_col,
@@ -529,7 +530,8 @@ def family_breakdown(spark, sf_dir):
     from hyperpolyglot_spark.functions.langdata import LANG_INFO
 
     docs = _t(spark, sf_dir, "documents")
-    dim = spark.createDataFrame(
+    dim = local_rows_df(
+        spark,
         [(l, i["family"], i["script"]) for l, i in sorted(LANG_INFO.items())],
         "lang string, family string, script string",
     )
@@ -900,19 +902,26 @@ def doc_perplexity(spark, sf_dir):
     vocab = model.groupBy("lang").agg(
         F.countDistinct(F.substring("g", 3, 1)).alias("v")
     )
-    scored = (
-        tri.join(F.broadcast(model), ["lang", "g"])
-        .withColumn("cx", F.substring("g", 1, 2))
+    # r07: fold ctx/vocab into the MODEL side and precompute lp once
+    # per distinct (lang, gram) — the event stream then pays ONE
+    # broadcast join and zero per-event log10s instead of three joins
+    # + a log10 per occurrence (guide §2.3: shuffle/score metadata,
+    # not the volume). Same arithmetic on the same doubles, so the
+    # scored values are bit-identical to the per-event form.
+    lp_tab = (
+        model.withColumn("cx", F.substring("g", 1, 2))
         .join(F.broadcast(ctx), ["lang", "cx"])
         .join(F.broadcast(vocab), ["lang"])
-        .withColumn(
-            "lp",
+        .select(
+            "lang",
+            "g",
             F.log10(
                 (F.col("c3") + F.lit(PPL_ALPHA))
                 / (F.col("c2") + F.lit(PPL_ALPHA) * F.col("v"))
-            ),
+            ).alias("lp"),
         )
     )
+    scored = tri.join(F.broadcast(lp_tab), ["lang", "g"])
     return scored.groupBy("doc_id").agg(
         F.round(F.pow(F.lit(10.0), -F.avg("lp")), 6).alias("ppl")
     )
@@ -967,7 +976,8 @@ def langid_unresolved(spark, sf_dir):
     pool = [
         (20_000 + i, t) for i, (_, t) in enumerate(training_corpus()[:30])
     ]
-    fx = spark.createDataFrame(
+    fx = local_rows_df(
+        spark,
         [(i, t) for i, _, t in fixture_rows()] + pool,
         "doc_id long, text string",
     )
@@ -1040,7 +1050,7 @@ def langid_short_texts(spark, sf_dir):
         for i, (lang, frags) in enumerate(sorted(short_texts().items()))
         for j, frag in enumerate(frags)
     ]
-    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df = local_rows_df(spark, rows, "doc_id long, lang string, text string")
     clf = make_classify_udf(spark, None, unresolved=True)
     df = df.withColumn(
         "lang_pred", clf(F.col("text"), F.array().cast("array<string>"))
@@ -1091,7 +1101,8 @@ def unresolved_disposition(spark, sf_dir):
     pool = [
         (20_000 + i, t) for i, (_, t) in enumerate(training_corpus()[:30])
     ]
-    fx = spark.createDataFrame(
+    fx = local_rows_df(
+        spark,
         [(i, t) for i, _, t in fixture_rows()] + pool,
         "doc_id long, text string",
     )
@@ -1114,7 +1125,8 @@ def unresolved_disposition(spark, sf_dir):
     df = with_perplexity(df, spark, text_col="_ppl_text")
     # per-language thresholds as a broadcast dim join (102 rows), not a
     # literal map probe (GetMapValue is a linear scan per row)
-    thr = spark.createDataFrame(
+    thr = local_rows_df(
+        spark,
         [
             (lang, float(v))
             for lang, v in sorted(ppl_thresholds_for(default_ppl_model()).items())
@@ -1476,7 +1488,8 @@ def langid_code_switch_spans(spark, sf_dir):
         .filter(F.col("doc_id") < 60)
         .select("doc_id", "text")
     )
-    fx = spark.createDataFrame(
+    fx = local_rows_df(
+        spark,
         [(d, t) for d, _a, _b, _l, t in code_switched_docs()],
         "doc_id long, text string",
     )
@@ -1514,8 +1527,10 @@ def langid_noisy_texts(spark, sf_dir):
         with_quality_signals,
     )
 
-    df = spark.createDataFrame(
-        noisy_texts(), "doc_id long, lang string, variant string, text string"
+    df = local_rows_df(
+        spark,
+        noisy_texts(),
+        "doc_id long, lang string, variant string, text string",
     ).repartition(8)
     clf = make_classify_udf(spark, None, unresolved=True)
     df = df.withColumn(

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 import random
+import re
 from collections import Counter
 
 import numpy as np
@@ -71,11 +72,20 @@ _STRIP_CHARS = "\u200b\ufeff\u2060\u00ad\u200e\u200f"
 _SPACE_CHARS = "\u00a0\u202f\u2007"
 _NORM_TABLE = {ord(c): None for c in _STRIP_CHARS}
 _NORM_TABLE.update({ord(c): " " for c in _SPACE_CHARS})
+# fast-path guard: str.translate with a dict table walks the whole
+# string through dict lookups (~15% of py_label_page in the r07
+# profile), but clean text — the overwhelmingly common case — contains
+# none of the 9 normalization chars. One C-level regex scan decides;
+# translate runs only when a char is actually present (identical
+# output either way: the class below is exactly the table's key set).
+_NORM_ANY_RE = re.compile("[" + _STRIP_CHARS + _SPACE_CHARS + "]")
 
 
 def normalize_scoring_text(text: str) -> str:
     """Strip invisible formatting chars / unify NBSP-class spaces —
     the pre-gram cleanup every scorer applies (spec above)."""
+    if _NORM_ANY_RE.search(text) is None:
+        return text
     return text.translate(_NORM_TABLE)
 
 

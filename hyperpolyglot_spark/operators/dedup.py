@@ -334,6 +334,29 @@ def dup_group_members(
     )
 
 
+def _members_and_canon(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(members, canon) sharing ONE pinned exact-dup group table.
+
+    Every minhash/simhash entry point needs both the member map
+    (dup_group_members) and the pre-collapsed corpus (exact_dedup);
+    built independently they each recompute the md5 groupBy — two
+    corpus-sized hash aggregations where one suffices (r07, guide
+    §2.4: two operations keyed the same way share one exchange). The
+    group table is (hash, id, count)-shaped — the same signature-table
+    size class _pin already holds for the banded table."""
+    groups = _pin(exact_dedup_groups(df, id_col, text_col))
+    m = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    members = m.join(groups, "text_hash").select(
+        id_col, "canonical_id", "dup_count"
+    )
+    canon = df.join(
+        groups.select(F.col("canonical_id").alias(id_col)), id_col, "left_semi"
+    )
+    return members, canon
+
+
 def lsh_bucket_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -527,8 +550,7 @@ def minhash_neardup_pairs(
     canonical row, its K(K-1)/2 output pairs are emitted directly as
     jaccard-1.0 literals (output-sized work, no verification), and the
     max_bucket cap bounds any residual degenerate bucket."""
-    members = dup_group_members(df, id_col, text_col)
-    canon = exact_dedup(df, id_col, text_col)
+    members, canon = _members_and_canon(df, id_col, text_col)
     cands = lsh_candidate_pairs(
         canon, id_col, text_col, k, bands, max_bucket, cap_stats
     )
@@ -592,10 +614,8 @@ def minhash_neardup_join(
     corpus use save_dedup_index once + minhash_neardup_join_indexed per
     batch — the old side is then never re-shingled except for the
     (tiny) verification-candidate set."""
-    mem_new = dup_group_members(df_new, id_col, text_col)
-    mem_old = dup_group_members(df_old, id_col, text_col)
-    canon_new = exact_dedup(df_new, id_col, text_col)
-    canon_old = exact_dedup(df_old, id_col, text_col)
+    mem_new, canon_new = _members_and_canon(df_new, id_col, text_col)
+    mem_old, canon_old = _members_and_canon(df_old, id_col, text_col)
     bn = _banded_minhash(canon_new, id_col, text_col, k, bands)
     bo = _pin(_banded_minhash(canon_old, id_col, text_col, k, bands))
     return _join_verify_expand(
@@ -704,14 +724,19 @@ def save_dedup_index(
 
     The same pattern as similarity.build_ivf_index (persist the
     partitioned index once, prune at probe time)."""
-    members = dup_group_members(df, id_col, text_col)
-    canon = exact_dedup(df, id_col, text_col)
+    members, canon = _members_and_canon(df, id_col, text_col)
     banded = _banded_minhash(canon, id_col, text_col, k, bands)
     banded.write.mode("overwrite").partitionBy("band").parquet(path + "/banded")
     members.write.mode("overwrite").parquet(path + "/members")
-    spark.createDataFrame([(k, bands)], "k int, bands int").coalesce(
-        1
-    ).write.mode("overwrite").parquet(path + "/meta")
+    # single-slice local frame: the default createDataFrame path
+    # parallelizes into 32 pickled slices and coalesce(1) evaluates
+    # them sequentially through the Python runner (~4 s measured for
+    # this one-row write, r07)
+    from ..session import local_rows_df
+
+    local_rows_df(spark, [(k, bands)], "k int, bands int", slices=1).write.mode(
+        "overwrite"
+    ).parquet(path + "/meta")
 
 
 def update_dedup_index(
@@ -767,8 +792,7 @@ def minhash_neardup_join_indexed(
         id_col, "band", "bucket"
     )
     mem_old = spark.read.parquet(index_path + "/members")
-    mem_new = dup_group_members(df_new, id_col, text_col)
-    canon_new = exact_dedup(df_new, id_col, text_col)
+    mem_new, canon_new = _members_and_canon(df_new, id_col, text_col)
     bn = _banded_minhash(canon_new, id_col, text_col, k, bands, counter=counter)
     return _join_verify_expand(
         bn, bo, canon_new, df_old, mem_new, mem_old,
@@ -819,8 +843,7 @@ def simhash_neardup_pairs(
     Same scale shape as minhash_neardup_pairs: exact-dup pre-collapse
     (identical texts = hamming 0, emitted directly), banded self-join
     over DISTINCT texts only, oversized chunks capped."""
-    members = dup_group_members(df, id_col, text_col)
-    canon = exact_dedup(df, id_col, text_col)
+    members, canon = _members_and_canon(df, id_col, text_col)
     sigs = canon.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim"))
     banded = sigs.select(
         id_col,

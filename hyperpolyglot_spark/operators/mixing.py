@@ -66,7 +66,10 @@ def stratified_sample(
     the corpus, no rand(), works identically on a re-run of any
     partition.
     """
-    dim = spark.createDataFrame(
+    from ..session import local_rows_df
+
+    dim = local_rows_df(
+        spark,
         [(k, rate_threshold_hex(v)) for k, v in sorted(rates.items())],
         f"{key_col} string, _thr string",
     )

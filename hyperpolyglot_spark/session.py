@@ -79,6 +79,26 @@ def get_spark(
     return spark
 
 
+def local_rows_df(spark: SparkSession, rows, schema: str, slices: int | None = None):
+    """createDataFrame for SMALL driver-local row lists (fixtures, dim
+    tables, meta rows).
+
+    The default ``createDataFrame(list)`` path parallelizes the pickled
+    rows into defaultParallelism slices (32 here), and EVERY evaluation
+    of the frame then pays one Python-runner round trip per slice —
+    measured r07: a one-row meta table behind ``coalesce(1)`` evaluated
+    its 32 slices sequentially at ~120 ms each (4-5 s per write), and
+    each fixture query burned ~0.3 s evaluating 30 empty slices.
+    Pinning the slice count to a handful (1 per ~128 rows, max 4) keeps
+    these frames at a few tasks with identical schema/row semantics.
+    Only for driver-local lists that are small by construction — corpus
+    data never goes through this path."""
+    n = slices or max(1, min(4, (len(rows) + 127) // 128))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema
+    )
+
+
 # ----------------------------------------------------------------------
 # per-application broadcast cache for frozen singletons
 # ----------------------------------------------------------------------
