@@ -49,6 +49,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Right-size scan parallelism for COMPUTE-HEAVY per-row stages.
+
+    The sf testdata tables are single parquet files with ONE row group
+    (r07 audit), so every scan is one task no matter the split config —
+    a per-doc-heavy stage (gram explode, minhash UDF, quality ladder)
+    then runs on 1 of 32 cores. Same fix and same gate as the frozen
+    bench.py pages path: shuffle the (small, under-split) input across
+    the cores ONCE, only when the scan under-splits them. At corpus
+    scale a real table has thousands of row groups, the gate never
+    fires, and no corpus-sized shuffle is added — this is the
+    guide §2.5 'unsplittable input' repartition, not a tuning constant.
+
+    Applied ONLY where an A/B noop-sink measurement showed a win
+    (OPTIMIZATION_r07.md): shallow plans whose per-row compute
+    dominates (quality ladder, gram explode+agg, tokenizer scoring).
+    Deep multi-stage DAGs (minhash chains, decontaminate, the LM
+    pipeline) are stage-latency-bound at this scale — spreading them
+    multiplied per-stage task overhead and measured SLOWER, so they
+    keep their natural scan partitioning."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 # ======================================================================
 # flagship
 # ======================================================================
@@ -493,7 +519,7 @@ def source_lang_matrix(spark, sf_dir):
 
 
 def doc_token_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -634,7 +660,7 @@ def doc_token_nb(spark, sf_dir):
         train_token_spark,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     model = train_token_spark(docs)
     clf = make_classify_udf(spark, model)
     return docs.select(
@@ -686,7 +712,7 @@ def classifier_training_agg(spark, sf_dir):
     200 most frequent char-3-grams per language."""
     from hyperpolyglot_spark.functions.langid import exploded_grams
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     counted = (
         exploded_grams(docs)  # int-seq explode + codegen substr (3.8x)
         .groupBy("lang", "gram")
@@ -748,7 +774,7 @@ def docs_keep_drop(spark, sf_dir):
         with_quality_signals,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     df = with_keep_drop(with_quality_signals(docs, "text"))
     return df.select(
         "doc_id",
@@ -843,7 +869,7 @@ def _hashed_gram_counts(spark, sf_dir):
     doc count grows, so hashing cost per doc goes to zero."""
     from hyperpolyglot_spark.functions.langid import bucket_col, exploded_grams
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return (
         exploded_grams(docs)
         .groupBy("lang", "gram")
@@ -1651,7 +1677,9 @@ def source_rule_rollup(spark, sf_dir):
         with_quality_signals,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _spread(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     kd = with_keep_drop(with_quality_signals(docs, "text"))
     return (
         kd.groupBy(

@@ -436,8 +436,16 @@ def with_quality_signals(
     row — expression trees passed to several downstream columns would
     otherwise be re-evaluated per reference (no CSE across projections
     for interpreted higher-order functions)."""
-    t = F.translate(F.col(text_col), NORM_FROM, NORM_TO)  # r6: same
-    # invisible-char normalization as py_signals, one translate call
+    # r6: same invisible-char normalization as py_signals. r07:
+    # materialized as a real column — the inlined expression form was
+    # re-evaluated by every consumer (the executed docs_keep_drop plan
+    # carried 32 copies of translate(text), one per signal reference);
+    # as a multiply-referenced non-cheap alias it survives
+    # CollapseProject, so the translate now runs once per row.
+    df = df.withColumn(
+        "_t", F.translate(F.col(text_col), NORM_FROM, NORM_TO)
+    )
+    t = F.col("_t")
     df = df.withColumn("_w", words_col(t))
     nw = F.size("_w")
     # 3-grams as zipped word triples — three O(n) slices + one zip,
@@ -540,7 +548,7 @@ def with_quality_signals(
             F.when(~is_spaceless, stop_density).otherwise(null_d),
         )
         .withColumn("is_vendor_url", is_vendor)
-        .drop("_w", "_lw", "_stopm")
+        .drop("_t", "_w", "_lw", "_stopm")
     )
 
 

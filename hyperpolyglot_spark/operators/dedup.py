@@ -344,9 +344,15 @@ def _members_and_canon(
     built independently they each recompute the md5 groupBy — two
     corpus-sized hash aggregations where one suffices (r07, guide
     §2.4: two operations keyed the same way share one exchange). The
-    group table is (hash, id, count)-shaped — the same signature-table
-    size class _pin already holds for the banded table."""
-    groups = _pin(exact_dedup_groups(df, id_col, text_col))
+    group table is (hash, id, count)-shaped. localCheckpoint, NOT
+    persist: a persisted subtree executes without AQE partition
+    coalescing (canChangeCachedPlanOutputPartitioning is off), which
+    measured 2x SLOWER here (64 tiny cached blocks re-read per
+    branch); the checkpoint materializes once with AQE and both
+    branches scan the materialized RDD."""
+    groups = exact_dedup_groups(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     m = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
     members = m.join(groups, "text_hash").select(
         id_col, "canonical_id", "dup_count"
