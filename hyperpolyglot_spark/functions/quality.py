@@ -301,7 +301,17 @@ def _scan_counts(text: str) -> tuple[int, int, bool]:
 # pure-Python spec (oracle mode)
 # ======================================================================
 
+# py_words fast path: extraction collapses all whitespace to single
+# spaces, so pipeline text never contains the other four class chars —
+# one C-level scan decides, and str.split(" ") + the existing
+# empty-filter is exactly _WS_SPLIT_RE.split for such text (runs of
+# spaces produce empty strings either way, and both are filtered).
+_WS_OTHER_RE = re.compile(r"[\t\n\r\f\x0b]")
+
+
 def py_words(text: str) -> list[str]:
+    if _WS_OTHER_RE.search(text) is None:
+        return [w for w in text.split(" ") if w]
     return [w for w in _WS_SPLIT_RE.split(text) if w]
 
 
