@@ -49,8 +49,14 @@ def doc_word_ngrams(
     text_col: str = "text",
     n: int = DEFAULT_N,
     id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, gram) — one row per distinct word n-gram per document.
+    """(id, gram) — one row per (distinct, by default) word n-gram per
+    document. Corpus-side callers that follow with a selective
+    broadcast join pass ``distinct=False``: the pre-join distinct was a
+    CORPUS-sized shuffle of every gram string, while the join drops
+    almost every row — filter first, dedupe the survivors (r07,
+    guide §2.3 shuffle-fewer-bytes).
 
     Tokenization must match ``py_word_ngrams`` (``text.split()``) and
     the DuckDB oracle (``list_filter(..., x <> '')``): Spark's
@@ -82,9 +88,8 @@ def doc_word_ngrams(
             id_col,
             F.array_join(F.expr(f"slice(_w, _i, {n})"), " ").alias("gram"),
         )
-        .distinct()
     )
-    return out
+    return out.distinct() if distinct else out
 
 
 def decontaminate(
@@ -110,7 +115,10 @@ def decontaminate(
         .select("gram")
         .distinct()
     )
-    dgrams = doc_word_ngrams(docs, text_col, n, id_col)
+    # distinct=False: countDistinct below dedupes the (tiny) matched
+    # set; the corpus gram stream flows map-side into the broadcast
+    # join without ever shuffling
+    dgrams = doc_word_ngrams(docs, text_col, n, id_col, distinct=False)
     return (
         dgrams.join(F.broadcast(bgrams), "gram")
         .groupBy(id_col)
@@ -213,14 +221,18 @@ def _hit_positions(
     # guaranteed to occur verbatim in the coordinate system spans use
     # (raw-text \s+ tokenization could split on chars the normalizer
     # collapses differently, e.g. \f)
-    hits = doc_word_ngrams(norm_docs, "_t", n, id_col).join(
-        F.broadcast(bgrams), "gram"
+    # distinct=False + post-join distinct: dedupe only the matched
+    # (id, gram) survivors instead of shuffling every corpus gram
+    hits = (
+        doc_word_ngrams(norm_docs, "_t", n, id_col, distinct=False)
+        .join(F.broadcast(bgrams), "gram")
+        .distinct()
     )
     texts = norm_docs.join(
         F.broadcast(hits.select(id_col).distinct()), id_col
     )
     p = F.expr("locate(gram, _t)")
-    g = hits.join(texts, id_col).withColumn("_p", p)
+    g = F.broadcast(hits).join(texts, id_col).withColumn("_p", p)
     return g.select(
         id_col,
         "_t",

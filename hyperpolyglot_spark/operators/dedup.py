@@ -730,19 +730,43 @@ def save_dedup_index(
 
     The same pattern as similarity.build_ivf_index (persist the
     partitioned index once, prune at probe time)."""
-    members, canon = _members_and_canon(df, id_col, text_col)
-    banded = _banded_minhash(canon, id_col, text_col, k, bands)
-    banded.write.mode("overwrite").partitionBy("band").parquet(path + "/banded")
-    members.write.mode("overwrite").parquet(path + "/members")
-    # single-slice local frame: the default createDataFrame path
-    # parallelizes into 32 pickled slices and coalesce(1) evaluates
-    # them sequentially through the Python runner (~4 s measured for
-    # this one-row write, r07)
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..session import local_rows_df
 
-    local_rows_df(spark, [(k, bands)], "k int, bands int", slices=1).write.mode(
-        "overwrite"
-    ).parquet(path + "/meta")
+    # EAGER group materialization first: the three writes below run
+    # concurrently, and a lazy checkpoint would race them into
+    # computing the md5 groupBy once per job
+    groups = exact_dedup_groups(df, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    m = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    members = m.join(groups, "text_hash").select(
+        id_col, "canonical_id", "dup_count"
+    )
+    canon = df.join(
+        groups.select(F.col("canonical_id").alias(id_col)), id_col, "left_semi"
+    )
+    banded = _banded_minhash(canon, id_col, text_col, k, bands)
+    # the three index tables are independent jobs — overlap them so the
+    # tail of one back-fills the others (guide §2.6); job-description
+    # labels are thread-local so the UI stays readable. The meta frame
+    # is a single-slice local list: the default createDataFrame path
+    # parallelizes into 32 pickled slices and a downstream coalesce(1)
+    # evaluated them sequentially through the Python runner (~4 s
+    # measured for this one-row write, r07).
+    writes = (
+        lambda: banded.write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path + "/banded"),
+        lambda: members.write.mode("overwrite").parquet(path + "/members"),
+        lambda: local_rows_df(spark, [(k, bands)], "k int, bands int", slices=1)
+        .write.mode("overwrite")
+        .parquet(path + "/meta"),
+    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(w) for w in writes]:
+            f.result()
 
 
 def update_dedup_index(
