@@ -190,8 +190,10 @@ def save_model(spark: SparkSession, model: Model, path: str) -> None:
         for lang, grams in sorted(model.items())
         for gram, logp in sorted(grams.items())
     ]
-    spark.createDataFrame(
-        rows, "lang string, gram string, logp double"
+    from ..session import local_rows_df
+
+    local_rows_df(
+        spark, rows, "lang string, gram string, logp double", slices=4
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 

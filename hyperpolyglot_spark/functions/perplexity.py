@@ -222,9 +222,11 @@ def save_ppl_model(spark: SparkSession, model: PplModel, path: str) -> None:
         for lang, (tri, _, _) in sorted(model.items())
         for g, c in sorted(tri.items())
     ]
-    spark.createDataFrame(rows, "lang string, gram string, cnt long").coalesce(
-        1
-    ).write.mode("overwrite").parquet(path)
+    from ..session import local_rows_df
+
+    local_rows_df(
+        spark, rows, "lang string, gram string, cnt long", slices=4
+    ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def load_ppl_model(spark: SparkSession, path: str) -> PplModel:

@@ -458,10 +458,14 @@ def build_ivf_index(
         f"{path}/index"
     )
     spark = df.sparkSession
-    spark.createDataFrame(
+    from ..session import local_rows_df
+
+    local_rows_df(
+        spark,
         [(i, [float(x) for x in C[i]]) for i in range(len(C))],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        slices=1,
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     return C
 
 

@@ -123,8 +123,13 @@ def run_with_resume(
         # Every bucket in the group gets a row — including empty buckets
         # (which wrote no partition dir): an absent row would keep the
         # bucket in `todo` forever and the run would never converge.
-        group_df = spark.createDataFrame(
-            [(int(b),) for b in group], "bucket int"
+        # slim local frame (r07): the default createDataFrame path
+        # costs one Python-runner round trip per default-parallelism
+        # slice on every evaluation
+        from ..session import local_rows_df
+
+        group_df = local_rows_df(
+            spark, [(int(b),) for b in group], "bucket int", slices=1
         )
         try:
             agg = (
