@@ -49,6 +49,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread_if_large(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Size-gated _spread for DEEP multi-stage DAGs (the LM pipeline,
+    decontaminate): at sf0.1 (~0.6 MB of docs) spreading these
+    measured SLOWER (stage-latency bound — see _spread), but at 10x
+    the single-task explode dominates end-to-end (doc_perplexity
+    24-30 s unspread vs 7-14 s spread, r07 A/B on a replicated
+    single-row-group table). Gate: under-split for the cores AND at
+    least SPARK_GRAFT_SPREAD_KB_PER_CORE (default 64 KB) of source
+    bytes per core — below that a task holds under ~a few hundred
+    docs and the added exchange outweighs the parallelism; above it,
+    per-doc compute dominates. Per-core (not absolute), so the same
+    rule holds at any executor count; at corpus scale the
+    partitions-gate never fires at all."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    min_bytes = cores * 1024 * int(
+        __import__("os").environ.get("SPARK_GRAFT_SPREAD_KB_PER_CORE", "64")
+    )
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size >= min_bytes:
+        return df.repartition(cores)
+    return df
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Right-size scan parallelism for COMPUTE-HEAVY per-row stages.
 
@@ -915,7 +940,7 @@ def doc_perplexity(spark, sf_dir):
     from hyperpolyglot_spark.functions.langid import exploded_grams
     from hyperpolyglot_spark.functions.perplexity import PPL_ALPHA
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread_if_large(spark, _t(spark, sf_dir, "documents"))
     tri = exploded_grams(docs, keep=("doc_id", "lang"), out="g")
     # the event stream feeds BOTH the model aggregation and the scoring
     # join; localCheckpoint materializes it once instead of re-running
@@ -1272,7 +1297,9 @@ def decontaminate_documents(spark, sf_dir):
     corpus-sized shuffle (operators/decontaminate.py)."""
     from hyperpolyglot_spark.operators.decontaminate import decontaminate
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread_if_large(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     bench = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.array_join(
             F.expr(r"slice(split(trim(text), '\\s+'), 11, 20)"), " "
@@ -1296,7 +1323,9 @@ def decontaminate_spans(spark, sf_dir):
         contamination_spans,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread_if_large(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     bench = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.array_join(
             F.expr(r"slice(split(trim(text), '\\s+'), 11, 20)"), " "
@@ -1321,7 +1350,9 @@ def decontaminate_rewrite_docs(spark, sf_dir):
         decontaminate_rewrite,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread_if_large(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     bench = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.array_join(
             F.expr(r"slice(split(trim(text), '\\s+'), 11, 20)"), " "

@@ -33,9 +33,15 @@ HASH_SPAN = 0xFFFFFFFF  # first 8 hex chars of the md5
 
 def rate_threshold_hex(rate: float) -> str:
     """Per-stratum keep threshold as a fixed-width lowercase hex
-    string; rate<=0 keeps nothing (below any hash), rate>=1 keeps
-    everything."""
-    r = min(max(rate, 0.0), 1.0)
+    string; rate>=1 keeps everything. rate<=0 returns the EMPTY string
+    (sorts before every hex hash in both engines), so a zero-rate
+    stratum keeps nothing — with the old '00000000' threshold a row
+    whose 8-hex prefix was exactly zero (p=2^-32) leaked through the
+    <= comparison (ADVICE r6): ~hundreds of rows at 10^12-doc scale.
+    Rates strictly between 0 and 1 are unchanged."""
+    if rate <= 0.0:
+        return ""
+    r = min(rate, 1.0)
     return f"{int(r * HASH_SPAN):08x}"
 
 

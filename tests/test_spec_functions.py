@@ -405,3 +405,23 @@ def test_dedupe_lines_spec():
     assert py_dedupe_lines("x\nx\nx") == ("x", 2)
     # empty lines are lines too: repeated blank lines collapse
     assert py_dedupe_lines("a\n\nb\n\nc") == ("a\n\nb\nc", 1)
+
+
+def test_rate_threshold_zero_keeps_nothing():
+    """ADVICE r6: rate<=0 must keep NOTHING. The old '00000000'
+    threshold leaked rows whose 8-hex md5 prefix was exactly zero
+    through the <= comparison (p=2^-32/row — hundreds of rows at
+    10^12-doc scale). The empty-string threshold sorts before every
+    hex hash in Python, Spark, and DuckDB collation alike."""
+    import duckdb
+
+    from hyperpolyglot_spark.operators.mixing import rate_threshold_hex
+
+    assert rate_threshold_hex(0.0) == ""
+    assert rate_threshold_hex(-1.0) == ""
+    # unchanged for in-range rates (oracle SQL text stability)
+    assert rate_threshold_hex(0.25) == f"{int(0.25 * 0xFFFFFFFF):08x}"
+    assert rate_threshold_hex(1.0) == "ffffffff"
+    # the adversarial row: an 8-hex prefix of exactly 00000000
+    assert not ("00000000" <= rate_threshold_hex(0.0))
+    assert duckdb.sql("SELECT '00000000' <= ''").fetchone()[0] is False
