@@ -73,6 +73,12 @@ SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
     # branch; inside it the multi-group alternative precedes the
     # single-digit-hextet one so leftmost-FIRST matching still takes
     # the longest address ('::10ab:cd' scrubs whole, not '::10ab').
+    # KNOWN residual (ADVICE r6, accepted): the un-anchored leading-::
+    # branch still fires mid-identifier when the RIGHT side looks
+    # hex-with-digit — 'std::f1' scrubs to 'std<IP6>' — because
+    # rejecting it needs lookbehind, which RE2 (the shared
+    # Spark/DuckDB dialect) does not support; same precision trade as
+    # the 'DB::Fetch' class above, documented rather than half-fixed.
     (
         "ipv6",
         rf"\b(?:{_HEXTET}:){{4,7}}{_HEXTET}\b"

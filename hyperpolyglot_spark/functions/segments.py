@@ -285,7 +285,16 @@ def with_segments(
 def span_rows(df: DataFrame) -> DataFrame:
     """Explode the spans array into one row per span (JVM-side), with
     the doc-level columns repeated — the shape downstream per-language
-    routing consumes."""
+    routing consumes. The exploded span fields take the names 'lang'
+    and 'script'; an input already carrying either would produce
+    ambiguous duplicate columns downstream (ADVICE r6), so that is
+    rejected loudly here instead."""
+    clash = {"lang", "script", "span_idx"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"span_rows: input columns {sorted(clash)} collide with the "
+            "exploded span fields — rename or drop them first"
+        )
     return df.select(
         *[c for c in df.columns if c != "spans"],
         F.posexplode("spans").alias("span_idx", "_s"),

@@ -113,6 +113,11 @@ def local_rows_df(spark: SparkSession, rows, schema: str, slices: int | None = N
 # id(sc)) so a restarted session can never alias a dead broadcast.
 
 _BC_CACHE: dict = {}
+# exactly-once is the whole point of the cache, and r07 introduced
+# genuinely concurrent driver threads (save_dedup_index overlapped
+# writes, guide §2.6): guard the check-then-act so two threads can
+# never both miss and broadcast the ~10MB model twice (ADVICE r6)
+_BC_LOCK = __import__("threading").Lock()
 
 
 def cached_broadcast(spark: SparkSession, key: str, build):
@@ -121,11 +126,12 @@ def cached_broadcast(spark: SparkSession, key: str, build):
     frozen per-process singletons (default models / threshold tables):
     the value must never change for the life of the application."""
     app = spark.sparkContext.applicationId
-    for (a, _k) in list(_BC_CACHE):
-        if a != app:  # old application: handles are dead, drop them
-            _BC_CACHE.pop((a, _k), None)
-    bc = _BC_CACHE.get((app, key))
-    if bc is None:
-        bc = spark.sparkContext.broadcast(build())
-        _BC_CACHE[(app, key)] = bc
-    return bc
+    with _BC_LOCK:
+        for (a, _k) in list(_BC_CACHE):
+            if a != app:  # old application: handles are dead, drop them
+                _BC_CACHE.pop((a, _k), None)
+        bc = _BC_CACHE.get((app, key))
+        if bc is None:
+            bc = spark.sparkContext.broadcast(build())
+            _BC_CACHE[(app, key)] = bc
+        return bc
