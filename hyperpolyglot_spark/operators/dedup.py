@@ -749,8 +749,7 @@ def save_dedup_index(
     )
     banded = _banded_minhash(canon, id_col, text_col, k, bands)
     # the three index tables are independent jobs — overlap them so the
-    # tail of one back-fills the others (guide §2.6); job-description
-    # labels are thread-local so the UI stays readable. The meta frame
+    # tail of one back-fills the others (guide §2.6). The meta frame
     # is a single-slice local list: the default createDataFrame path
     # parallelizes into 32 pickled slices and a downstream coalesce(1)
     # evaluated them sequentially through the Python runner (~4 s
